@@ -1,0 +1,136 @@
+"""Posting-list compression: delta-gap + varbyte, with block-max metadata.
+
+SURVEY.md §2.8-T3/T7.  Lucene stores postings as delta-gapped varints with
+skip data; we do the same in numpy so encode/decode are vectorized inside
+Arrow batches (no per-row Python).  Block-max metadata follows Ding & Suel,
+"Faster Top-k Document Retrieval Using Block-Max Indexes" (SIGIR 2011): per
+fixed-size block we keep ``(last_doc, max_tf, min_dl)`` so a query-time upper
+bound for the block's BM25 contribution can be computed with *current* corpus
+stats — storing (max_tf, min_dl) instead of a precomputed score bound keeps
+the bound valid across incremental rebuilds that shift avgdl, because
+tf/(tf + k1*(1-b+b*dl/avgdl)) is monotone ↑ in tf and ↓ in dl.
+
+Varbyte layout: little-endian 7-bit groups, high bit set on the *last* byte
+of each value (Lucene-style VInt continuation).  Values are uint64.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array to varbyte. Fully vectorized."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of 7-bit groups per value (at least 1)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    # max 10 groups for 64-bit
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = tmp >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp = tmp >> np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # write positions: end offset per value
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    # emit groups least-significant first; terminator bit on the last byte
+    maxb = int(nbytes.max())
+    rem = v.copy()
+    for i in range(maxb):
+        mask = nbytes > i
+        pos = starts[mask] + i
+        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        last = (nbytes[mask] - 1) == i
+        byte[last] |= 0x80
+        out[pos] = byte
+        rem = rem >> np.uint64(7)
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Decode varbyte back to uint64. Vectorized via cumsum group-splitting."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (raw & 0x80) > 0
+    # group index per byte: 0-based value index
+    group = np.zeros(raw.size, dtype=np.int64)
+    group[1:] = np.cumsum(is_last)[:-1]
+    n_values = int(is_last.sum())
+    # position of byte within its group
+    group_start = np.zeros(n_values + 1, dtype=np.int64)
+    np.add.at(group_start, group + 1, 1)
+    group_start = np.cumsum(group_start)
+    within = np.arange(raw.size, dtype=np.int64) - group_start[group]
+    vals = np.zeros(n_values, dtype=np.uint64)
+    payload = (raw & 0x7F).astype(np.uint64) << (within.astype(np.uint64) * np.uint64(7))
+    np.add.at(vals, group, payload)
+    return vals
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Strictly-increasing int64 ids → first id + gaps (gap>=1)."""
+    ids = np.asarray(sorted_ids, dtype=np.int64)
+    if ids.size == 0:
+        return ids.astype(np.uint64)
+    gaps = np.empty(ids.size, dtype=np.uint64)
+    gaps[0] = np.uint64(ids[0])
+    gaps[1:] = np.diff(ids).astype(np.uint64)
+    return gaps
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    if gaps.size == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.cumsum(gaps.astype(np.int64))
+
+
+def encode_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray, block_size: int
+) -> Tuple[bytes, bytes, np.ndarray, np.ndarray, np.ndarray]:
+    """Pack one term's postings (within a shard).
+
+    Returns (doc_blob, tf_blob, block_last_doc, block_max_tf, block_min_dl).
+    ``doc_ids`` must be strictly increasing; arrays are parallel.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    doc_lens = np.asarray(doc_lens, dtype=np.int64)
+    n = doc_ids.size
+    doc_blob = varbyte_encode(delta_encode(doc_ids))
+    tf_blob = varbyte_encode(tfs.astype(np.uint64))
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return doc_blob, tf_blob, z, z, z
+    n_blocks = (n + block_size - 1) // block_size
+    pad = n_blocks * block_size - n
+    if pad:
+        doc_pad = np.concatenate([doc_ids, np.full(pad, doc_ids[-1], dtype=np.int64)])
+        tf_pad = np.concatenate([tfs, np.zeros(pad, dtype=np.int64)])
+        dl_pad = np.concatenate([doc_lens, np.full(pad, np.iinfo(np.int64).max, dtype=np.int64)])
+    else:
+        doc_pad, tf_pad, dl_pad = doc_ids, tfs, doc_lens
+    doc_pad = doc_pad.reshape(n_blocks, block_size)
+    tf_pad = tf_pad.reshape(n_blocks, block_size)
+    dl_pad = dl_pad.reshape(n_blocks, block_size)
+    return (
+        doc_blob,
+        tf_blob,
+        doc_pad[:, -1].copy(),
+        tf_pad.max(axis=1),
+        dl_pad.min(axis=1),
+    )
+
+
+def decode_postings(doc_blob: bytes, tf_blob: bytes) -> Tuple[np.ndarray, np.ndarray]:
+    """Inverse of ``encode_postings`` (doc_ids int64, tfs int64)."""
+    doc_ids = delta_decode(varbyte_decode(doc_blob))
+    tfs = varbyte_decode(tf_blob).astype(np.int64)
+    return doc_ids, tfs

@@ -1,0 +1,75 @@
+"""Tokenizer parity: Python == Spark JVM expression == DuckDB regex.
+
+Parity across the three regex engines is the whole ballgame for
+rank-identity (SURVEY.md §7 watch list); pin it with shared fixtures and a
+hypothesis sweep.
+"""
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from archivesspace_virgo_spark.tokenizer import (
+    duckdb_tokens_sql,
+    tokenize_series,
+    tokenize_text,
+    tokens_column,
+)
+
+CASES = [
+    "",
+    "hello world",
+    "snake_case_name and CamelCase",
+    "Foo.bar(baz_qux, 42)  # comment!",
+    "a__b--c..d",
+    "UPPER lower 123abc abc123",
+    "   leading and trailing   ",
+    "tab\tnewline\nmix",
+    "unicode: héllo wörld 北京",  # non-ascii letters are delimiters (v1)
+    "x" * 1000,
+]
+
+
+def test_python_tokenizer_basics():
+    assert tokenize_text("snake_case_name") == ["snake", "case", "name"]
+    assert tokenize_text("Foo.bar()") == ["foo", "bar"]
+    assert tokenize_text("") == []
+    assert tokenize_text(None) == []
+    assert tokenize_text("héllo") == ["h", "llo"]
+
+
+def test_spark_matches_python(spark):
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(CASES)], "i int, content string")
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", tokens_column("content").alias("toks")).collect()
+    }
+    for i, c in enumerate(CASES):
+        assert got[i] == tokenize_text(c), f"case {i}: {c!r}"
+
+
+def test_duckdb_matches_python():
+    con = duckdb.connect()
+    rel = con.execute(
+        f"SELECT {duckdb_tokens_sql('?::VARCHAR')} AS toks", ["snake_case A.b 42"]
+    ).fetchone()
+    assert rel[0] == tokenize_text("snake_case A.b 42")
+    for c in CASES:
+        got = con.execute(
+            f"SELECT {duckdb_tokens_sql('?::VARCHAR')}", [c]
+        ).fetchone()[0]
+        assert got == tokenize_text(c), repr(c)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_duckdb_property_parity(s):
+    got = duckdb.execute(f"SELECT {duckdb_tokens_sql('?::VARCHAR')}", [s]).fetchone()[0]
+    assert got == tokenize_text(s)
+
+
+def test_series_form():
+    s = pd.Series(["a_b", None, ""])
+    assert tokenize_series(s).tolist() == [["a", "b"], [], []]
