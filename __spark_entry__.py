@@ -1,38 +1,514 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: build the compressed inverted index over the
+sf0.001 corpus and run a BM25 top-k query through the real engine.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data-pipeline operators (dedup / similarity /
+text stats).  Convention: every real-valued output column is emitted as
+``<name>_micro`` = CAST(round(value * 1e6) AS BIGINT) in BOTH engines so the
+driver's value-hash compare never trips on float formatting.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from archivesspace_virgo_spark.config import IndexConfig
+from archivesspace_virgo_spark.corpus import load_documents_as_corpus
+from archivesspace_virgo_spark.functions.bm25 import bm25_topk_df
+from archivesspace_virgo_spark.index.build import build_index
+from archivesspace_virgo_spark.index.query import QueryEngine
+from archivesspace_virgo_spark.operators import dedup as D
+from archivesspace_virgo_spark.operators import etl as E
+from archivesspace_virgo_spark.operators import similarity as S
+from archivesspace_virgo_spark.operators import textstats as TS
+from archivesspace_virgo_spark.tokenizer import TOKEN_SPLIT_PATTERN
+
+# fixed reference query-term sets (drawn from the synthetic corpus vocab)
+TERMS_OR = ["spark", "window", "merge"]
+TERMS_AND = ["table", "join"]
+TERMS_RARE = ["customer", "vector"]
+K = 10
+
+_TOKS = (
+    f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_PATTERN}'), "
+    "t -> t <> '')"
+)
+
+# deterministic ANN query vector (no data dependence; works at every sf)
+ANN_QUERY = S.deterministic_hyperplanes(64, 1, seed=7)[0]
+
+_ENGINE_CACHE: dict = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _micro(col):
+    return F.round(col * 1000000.0).cast("long")
+
+
+def _engine_for(spark: SparkSession, sf_dir: str) -> QueryEngine:
+    if sf_dir not in _ENGINE_CACHE:
+        cfg = IndexConfig(docs_per_shard=256)
+        index_dir = tempfile.mkdtemp(prefix="avs_entry_idx_")
+        corpus = load_documents_as_corpus(spark, sf_dir)
+        build_index(spark, corpus, index_dir, cfg)
+        _ENGINE_CACHE[sf_dir] = QueryEngine(spark, index_dir, cfg)
+    return _ENGINE_CACHE[sf_dir]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: compressed-index BM25 top-k on sf0.001 via the real engine."""
+    engine = _engine_for(spark, "/root/testdata/sf0.001")
+    res = engine.search(TERMS_OR, k=K)
+    return res.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
+# ---------------------------------------------------------------------------
+# queries(): (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+def _q_bm25(mode, terms):
+    def run(spark, sf_dir):
+        res = bm25_topk_df(_docs(spark, sf_dir), terms, k=K, mode=mode,
+                           id_col="doc_id", text_col="text")
+        return res.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+    return run
+
+
+def _q_bm25_engine(terms):
+    def run(spark, sf_dir):
+        engine = _engine_for(spark, sf_dir)
+        res = engine.search(terms, k=K)
+        return res.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- full-text engine surface (SURVEY §2.8) ---
+    q["bm25_topk_or"] = _q_bm25("or", TERMS_OR)
+    q["bm25_topk_and"] = _q_bm25("and", TERMS_AND)
+    q["bm25_topk_rare"] = _q_bm25("or", TERMS_RARE)
+    q["bm25_engine_topk"] = _q_bm25_engine(TERMS_OR)
 
+    def q_doc_stats(spark, sf_dir):
+        from archivesspace_virgo_spark.tokenizer import tokens_column
+        return _docs(spark, sf_dir).select(
+            "doc_id", F.size(tokens_column("text")).alias("dl")
+        )
+    q["doc_stats"] = q_doc_stats
+
+    def q_df(spark, sf_dir):
+        from archivesspace_virgo_spark.tokenizer import tokens_column
+        d = _docs(spark, sf_dir)
+        return (
+            d.select(F.explode(F.array_distinct(tokens_column("text"))).alias("term"))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        )
+    q["term_doc_freq"] = q_df
+
+    def q_corpus_stats(spark, sf_dir):
+        from archivesspace_virgo_spark.tokenizer import tokens_column
+        d = _docs(spark, sf_dir).select(F.size(tokens_column("text")).alias("dl"))
+        return d.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_tokens"),
+            _micro(F.avg("dl")).alias("avgdl_micro"),
+        )
+    q["corpus_stats"] = q_corpus_stats
+
+    def q_facet_lang(spark, sf_dir):
+        return _docs(spark, sf_dir).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("facet_count")
+        )
+    q["facet_lang"] = q_facet_lang
+
+    # --- text analysis (training-data pipeline) ---
+    def q_token_count(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", TS.token_count("text").alias("n_tokens")
+        )
+    q["token_count"] = q_token_count
+
+    def q_lang_id(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", TS.lang_id("text").alias("lang_guess")
+        )
+    q["lang_id"] = q_lang_id
+
+    def q_quality(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", _micro(TS.quality_score("text")).alias("quality_micro")
+        )
+    q["quality_score"] = q_quality
+
+    def q_fingerprint(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", TS.fingerprint("text").alias("fp")
+        )
+    q["fingerprint"] = q_fingerprint
+
+    # --- dedup family ---
+    def q_dedup_exact(spark, sf_dir):
+        return D.exact_duplicates(_docs(spark, sf_dir), "doc_id", "text")
+    q["dedup_exact"] = q_dedup_exact
+
+    def q_minhash(spark, sf_dir):
+        sig = D.minhash_signature(_docs(spark, sf_dir), "doc_id", "text", n_hashes=4)
+        return sig.select(
+            "doc_id",
+            F.col("sig")[0].alias("h0"), F.col("sig")[1].alias("h1"),
+            F.col("sig")[2].alias("h2"), F.col("sig")[3].alias("h3"),
+        )
+    q["minhash_signature"] = q_minhash
+
+    def q_jaccard(spark, sf_dir):
+        return D.ngram_jaccard_pairs(
+            _docs(spark, sf_dir), "doc_id", "text", shingle_n=3, threshold=0.2
+        ).select("id_a", "id_b", _micro(F.col("jaccard")).alias("jaccard_micro"))
+    q["ngram_jaccard_pairs"] = q_jaccard
+
+    def q_simhash(spark, sf_dir):
+        return D.simhash(_docs(spark, sf_dir), "doc_id", "text", bits=16)
+    q["simhash"] = q_simhash
+
+    def q_minhash_bands(spark, sf_dir):
+        return D.minhash_band_pairs(
+            _docs(spark, sf_dir), "doc_id", "text", n_hashes=8, bands=4
+        )
+    q["minhash_band_pairs"] = q_minhash_bands  # rows-only (no oracle): LSH banding
+
+    # --- similarity search ---
+    def q_cosine(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        res = S.cosine_topk(emb, ANN_QUERY, k=K)
+        return res.select("vec_id", _micro(F.col("cos")).alias("cos_micro"))
+    q["cosine_topk"] = q_cosine
+
+    def q_ann_lsh(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        res = S.lsh_cosine_topk(emb, ANN_QUERY, k=K, n_planes=8, probe_hamming=1)
+        return res.select("vec_id", _micro(F.col("cos")).alias("cos_micro"))
+    q["ann_lsh_topk"] = q_ann_lsh  # rows-only: approximate by design
+
+    # --- reference ETL parity ops over the TPC-H-ish tables ---
+    def q_natural_sort(spark, sf_dir):
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        return p.select("p_partkey", E.natural_sort_key("p_name").alias("nat_key"))
+    q["natural_sort_key"] = q_natural_sort
+
+    def q_date_bucket(spark, sf_dir):
+        # ref_year=1998 sits inside the synthetic order-date range (1995-2001)
+        # so every bucket label actually occurs
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return o.select(
+            "o_orderkey",
+            E.date_bucket_labels(F.year("o_orderdate"), ref_year=1998).alias("age_buckets"),
+        )
+    q["date_bucket"] = q_date_bucket
+
+    def q_normalize_id(spark, sf_dir):
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        return p.select(
+            "p_partkey", E.normalize_id("p_type").alias("norm_id")
+        )
+    q["normalize_id"] = q_normalize_id
+
+    def q_concat_ws(spark, sf_dir):
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return o.select(
+            "o_orderkey",
+            F.concat_ws(
+                "-",
+                F.col("o_orderstatus"),
+                F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")),
+                F.col("o_custkey").cast("string"),
+            ).alias("joined_id"),
+        )
+    q["concat_ws_id"] = q_concat_ws
+
+    def q_string_agg(spark, sf_dir):
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        return E.string_agg(c, "c_nationkey", "c_name", sep="|")
+    q["string_agg"] = q_string_agg
+
+    def q_semi(spark, sf_dir):
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return E.existing_semi_join(
+            c.select(F.col("c_custkey")), o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
+        )
+    q["semi_join_has_orders"] = q_semi
+
+    def q_anti(spark, sf_dir):
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return E.shadowed_anti_join(
+            c.select(F.col("c_custkey")), o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
+        )
+    q["anti_join_no_orders"] = q_anti
+
+    def q_union_dirty(spark, sf_dir):
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+        b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+        return a.union(b).distinct()
+    q["union_dirty_keys"] = q_union_dirty
+
+    def q_range_filter(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return (
+            ev.filter(
+                (F.col("ts") >= "2024-01-10 00:00:00")
+                & (F.col("ts") < "2024-01-20 00:00:00")
+            )
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), _micro(F.avg("value")).alias("avg_value_micro"))
+        )
+    q["range_filter_events"] = q_range_filter
+
+    def q_json_extract(spark, sf_dir):
+        # F19 (JsonHelper.java:19-40): dynamic JSON field access
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        )
+    q["json_extract"] = q_json_extract
+
+    def q_first_per_group(spark, sf_dir):
+        from pyspark.sql.window import Window
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        return (
+            o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey", _micro(F.col("o_totalprice")).alias("top_price_micro"))
+        )
+    q["first_per_group"] = q_first_per_group
+
+    def q_translate(spark, sf_dir):
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        return p.select(
+            "p_partkey", F.translate("p_name", "ms ", "MS_").alias("translated")
+        )
+    q["translate"] = q_translate
+
+    def q_regex_validate(spark, sf_dir):
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        return c.select(
+            "c_custkey",
+            F.regexp_extract("c_name", "Customer#(\\d+)", 1).cast("long").alias("cust_num"),
+            F.col("c_name").rlike("^Customer#\\d{9}$").alias("id_valid"),
+        )
+    q["regex_validate_id"] = q_regex_validate
+
+    def q_membership(spark, sf_dir):
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        return p.select(
+            "p_partkey",
+            F.array_contains(F.split(F.col("p_name"), " "), "green").alias("has_green"),
+        )
+    q["array_membership"] = q_membership
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle_sql(): DuckDB ANSI SQL over the pre-registered views
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from archivesspace_virgo_spark.functions.bm25 import bm25_oracle_sql
+
+    def micro(expr: str) -> str:
+        return f"CAST(round(({expr}) * 1000000.0) AS BIGINT)"
+
+    o: dict[str, str] = {}
+
+    def bm25_micro(terms, mode):
+        inner = bm25_oracle_sql(terms, k=K, mode=mode)
+        return (
+            f"SELECT doc_id, {micro('score')} AS score_micro FROM ({inner}) t"
+        )
+
+    o["bm25_topk_or"] = bm25_micro(TERMS_OR, "or")
+    o["bm25_topk_and"] = bm25_micro(TERMS_AND, "and")
+    o["bm25_topk_rare"] = bm25_micro(TERMS_RARE, "or")
+    o["bm25_engine_topk"] = bm25_micro(TERMS_OR, "or")
+
+    o["doc_stats"] = f"SELECT doc_id, len({_TOKS}) AS dl FROM documents"
+
+    o["term_doc_freq"] = f"""
+SELECT term, count(*) AS df
+FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS term FROM documents)
+GROUP BY term
+"""
+
+    o["corpus_stats"] = f"""
+SELECT count(*) AS n_docs, sum(dl) AS total_tokens,
+       {micro('avg(dl)')} AS avgdl_micro
+FROM (SELECT len({_TOKS}) AS dl FROM documents)
+"""
+
+    o["facet_lang"] = "SELECT lang, count(*) AS facet_count FROM documents GROUP BY lang"
+
+    o["token_count"] = (
+        f"SELECT doc_id, {TS.token_count_sql('text')} AS n_tokens FROM documents"
+    )
+    o["lang_id"] = (
+        f"SELECT doc_id, {TS.lang_id_sql('text')} AS lang_guess FROM documents"
+    )
+    o["quality_score"] = (
+        f"SELECT doc_id, {micro(TS.quality_score_sql('text'))} AS quality_micro "
+        "FROM documents"
+    )
+    o["fingerprint"] = (
+        f"SELECT doc_id, {TS.fingerprint_sql('text')} AS fp FROM documents"
+    )
+
+    o["dedup_exact"] = D.exact_duplicates_sql("documents", "doc_id", "text")
+
+    sh = D.shingles_sql("text", 3)
+    hash_sql = lambda seed: D.hash64_sql("sh", seed)  # noqa: E731
+    o["minhash_signature"] = f"""
+WITH ex AS (SELECT doc_id, unnest({sh}) AS sh FROM documents),
+sig AS (
+  SELECT doc_id,
+         min({hash_sql(0)}) AS h0, min({hash_sql(1)}) AS h1,
+         min({hash_sql(2)}) AS h2, min({hash_sql(3)}) AS h3
+  FROM ex GROUP BY doc_id
+)
+SELECT d.doc_id, sig.h0, sig.h1, sig.h2, sig.h3
+FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+"""
+
+    o["ngram_jaccard_pairs"] = f"""
+WITH ex AS (SELECT doc_id AS _id, unnest({sh}) AS sh FROM documents),
+sizes AS (SELECT _id, count(*) AS n_sh FROM ex GROUP BY _id),
+minsh AS (SELECT _id, min({hash_sql(0)}) AS min_h FROM ex GROUP BY _id),
+cand AS (
+  SELECT a._id AS id_a, b._id AS id_b
+  FROM minsh a JOIN minsh b ON a.min_h = b.min_h AND a._id < b._id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN ex x ON c.id_a = x._id
+  JOIN ex y ON c.id_b = y._id AND x.sh = y.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       {micro('round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6)')} AS jaccard_micro
+FROM inter i
+JOIN sizes sa ON i.id_a = sa._id
+JOIN sizes sb ON i.id_b = sb._id
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
+"""
+
+    term_hash = D.hash64_sql("term", 7)
+    o["simhash"] = f"""
+WITH tf AS (
+  SELECT doc_id AS _id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+h AS (SELECT _id, tf, {term_hash} AS h FROM tf),
+bits AS (
+  SELECT _id, i,
+         sum(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM h, range(16) r(i)
+  GROUP BY 1, 2
+),
+packed AS (
+  SELECT _id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+  FROM bits GROUP BY _id
+)
+SELECT d.doc_id, coalesce(p.simhash, 0) AS simhash
+FROM documents d JOIN packed p ON d.doc_id = p._id
+"""
+
+    o["cosine_topk"] = (
+        "SELECT vec_id, {m} AS cos_micro FROM ({inner}) t".format(
+            m=micro("cos"), inner=S.cosine_topk_sql(ANN_QUERY, k=K)
+        )
+    )
+
+    o["natural_sort_key"] = (
+        f"SELECT p_partkey, {E.natural_sort_key_sql('p_name')} AS nat_key FROM part"
+    )
+    o["date_bucket"] = (
+        "SELECT o_orderkey, "
+        + E.date_bucket_labels_sql("year(o_orderdate)", ref_year=1998)
+        + " AS age_buckets FROM orders"
+    )
+    o["normalize_id"] = (
+        f"SELECT p_partkey, {E.normalize_id_sql('p_type')} AS norm_id FROM part"
+    )
+    o["concat_ws_id"] = """
+SELECT o_orderkey,
+       concat_ws('-', o_orderstatus, nullif(o_orderpriority, '1-URGENT'),
+                 CAST(o_custkey AS VARCHAR)) AS joined_id
+FROM orders
+"""
+    o["string_agg"] = """
+SELECT c_nationkey, string_agg(c_name, '|' ORDER BY c_name) AS agg_value
+FROM customer GROUP BY c_nationkey
+"""
+    o["semi_join_has_orders"] = """
+SELECT c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+    o["anti_join_no_orders"] = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+    o["union_dirty_keys"] = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+UNION
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+    o["range_filter_events"] = f"""
+SELECT event_type, count(*) AS n, {micro('avg(value)')} AS avg_value_micro
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY event_type
+"""
+    o["json_extract"] = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events
+"""
+    o["first_per_group"] = f"""
+SELECT o_custkey, o_orderkey, {micro('o_totalprice')} AS top_price_micro
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+    o["translate"] = (
+        "SELECT p_partkey, translate(p_name, 'ms ', 'MS_') AS translated FROM part"
+    )
+    o["regex_validate_id"] = r"""
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS cust_num,
+       regexp_matches(c_name, '^Customer#\d{9}$') AS id_valid
+FROM customer
+"""
+    o["array_membership"] = """
+SELECT p_partkey, list_contains(string_split(p_name, ' '), 'green') AS has_green
+FROM part
+"""
+    return o

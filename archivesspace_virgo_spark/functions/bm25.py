@@ -1,0 +1,138 @@
+"""Declarative (pure-DataFrame) BM25 + the matching DuckDB oracle SQL.
+
+Two co-maintained renderings of the same ranking function (SURVEY.md
+§2.8-T6):
+
+- ``bm25_topk_df``: Spark DataFrame composition — tokenize (JVM split) →
+  explode → tf/df/dl aggregates → scalar corpus stats (broadcast) → score →
+  TakeOrderedAndProject.  This is the "let Catalyst pick the plan" rendering;
+  the compressed-index ``QueryEngine`` is the scale rendering.  Both must
+  produce identical numbers.
+- ``bm25_oracle_sql``: the ANSI-SQL equivalent DuckDB runs for the driver's
+  CORRECTNESS gate.
+
+Scores are rounded to 6 decimals in BOTH so cross-engine float formatting
+can't break the value-hash compare; ordering uses the unrounded score.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from archivesspace_virgo_spark.tokenizer import TOKEN_SPLIT_PATTERN, tokens_column
+
+K1 = 1.2
+B = 0.75
+ROUND = 6
+
+
+def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), tokens_column(text_col).alias("toks")
+    )
+
+
+def _term_frequencies(toks: DataFrame) -> DataFrame:
+    return toks.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    ).groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def bm25_topk_df(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k BM25 over a (id, text) DataFrame; returns (doc_id, score)."""
+    uniq: List[str] = sorted(set(terms))
+    toks = _tokenized(docs, id_col, text_col)
+    tf = _term_frequencies(toks)
+    # corpus stats from the PRE-explode relation so dl=0 docs count toward
+    # n_docs/avgdl (matches the oracle's LEFT JOIN + coalesce(dl, 0))
+    stats = toks.select(F.size("toks").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_t = (
+        tf.filter(F.col("term").isin(uniq))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    qtf = tf.filter(F.col("term").isin(uniq))
+    scored = (
+        qtf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("_score"), F.count(F.lit(1)).alias("_nterms")
+    )
+    if mode == "and":
+        agg = agg.filter(F.col("_nterms") == len(uniq))
+    return (
+        agg.orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("_score", ROUND).alias("score"))
+    )
+
+
+def bm25_oracle_sql(
+    terms: Sequence[str],
+    k: int = 10,
+    mode: str = "or",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> str:
+    """DuckDB SQL computing the identical top-k (driver oracle)."""
+    uniq = sorted(set(terms))
+    terms_sql = ", ".join(f"'{t}'" for t in uniq)
+    having = f"HAVING count(*) = {len(uniq)}" if mode == "and" else ""
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS doc_id,
+         unnest(list_filter(string_split_regex(lower({text_col}), '{TOKEN_SPLIT_PATTERN}'), t -> t <> '')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT d.{id_col} AS doc_id, coalesce(dl.dl, 0) AS dl
+        FROM {table} d LEFT JOIN dl ON d.{id_col} = dl.doc_id)
+),
+dft AS (SELECT term, count(*) AS df FROM tf WHERE term IN ({terms_sql}) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / stats.avgdl)) ) AS _score
+  FROM tf
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+  {having}
+)
+SELECT doc_id, round(_score, {ROUND}) AS score
+FROM scored
+ORDER BY _score DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force cosine top-k — the correctness baseline.
+  Pure JVM expressions (zip_with/aggregate) — no Python in the hot path.
+- ``lsh_cosine_topk``: random-hyperplane LSH bucketing — the scale path.
+  Deterministic hyperplanes derived from md5 (seeded), so results are
+  reproducible across runs/engines; candidates are re-ranked exactly, so
+  recall<1 but precision=1 w.r.t. returned candidates.
+
+At 100 TB the brute-force variant is a single map-side pass per query
+(broadcast query vector, no shuffle except final top-k); LSH replaces the
+full scan with a bucket-pruned scan (partition by bucket id).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (vec_id, cos) rounded 6, score-desc/id-asc."""
+    q = [float(x) for x in query_vec]
+    qnorm = float(np.sqrt(np.dot(q, q)))
+    qcol = F.array(*[F.lit(x) for x in q])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cos = _dot(v, qcol) / (F.sqrt(_dot(v, v)) * F.lit(qnorm))
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"), cos.alias("_cos"))
+        .orderBy(F.desc("_cos"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("_cos", 6).alias("cos"))
+    )
+
+
+def cosine_topk_sql(
+    query_vec: Sequence[float],
+    k: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle: identical math in double precision."""
+    q = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
+    return f"""
+WITH q AS (SELECT {q} AS qv),
+s AS (
+  SELECT {id_col} AS vec_id,
+         list_dot_product({vec_col}::DOUBLE[], qv)
+           / (sqrt(list_dot_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[]))
+              * sqrt(list_dot_product(qv, qv))) AS _cos
+  FROM {table}, q
+)
+SELECT vec_id, round(_cos, 6) AS cos FROM s
+ORDER BY _cos DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def deterministic_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
+    """Seeded pseudo-random unit hyperplanes (reproducible everywhere)."""
+    out = []
+    for p in range(n_planes):
+        vals = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{i}".encode()).digest()
+            u = int.from_bytes(h[:8], "big") / 2**64  # [0,1)
+            vals.append(2.0 * u - 1.0)
+        n = float(np.sqrt(sum(v * v for v in vals)))
+        out.append([v / n for v in vals])
+    return out
+
+
+def lsh_bucket(vec_col: Column, planes: List[List[float]]) -> Column:
+    """Sign-pattern bucket id (int) for random-hyperplane LSH."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(_dot(v, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN: scan only buckets within `probe_hamming` bits of the query's
+    bucket (multi-probe), then exact re-rank.  At scale the bucket id is a
+    partition column → partition pruning replaces the full scan."""
+    dim = len(query_vec)
+    planes = deterministic_hyperplanes(dim, n_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if float(np.dot(q, np.asarray(plane))) >= 0:
+            qbucket |= 1 << i
+    probes = [qbucket]
+    if probe_hamming >= 1:
+        probes += [qbucket ^ (1 << i) for i in range(n_planes)]
+    bucketed = embeddings.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("_bucket").isin(probes))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
