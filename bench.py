@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Benchmark harness: index-build throughput + BM25 query latency.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-phase seconds...}, "sf": ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR     input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS       local[N] (default 32)
+  SPARK_GRAFT_REPLICATE  corpus replication factor (default 10 → 50k docs
+                         at sf0.1; deterministic expansion, see below)
+  SPARK_GRAFT_SCALING    "1" → also run the build at local[8] and local[32]
+                         and report throughput scaling efficiency
+                         (sandbox stand-in for the N vs 4N cluster protocol)
+
+The bench corpus is the driver's documents table deterministically expanded
+REPLICATE× into the input_hint shape: replica r of doc d gets
+doc_id = d + r*n_docs and content = text + " rep<r>" (stable token variation
+so replicas aren't exact dups).  No external data; seed-free and
+reproducible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "10"))
+SCALING = os.environ.get("SPARK_GRAFT_SCALING", "0") == "1"
+
+QUERY_SUITE = [
+    ("q_hot1", ["table"], "or"),
+    ("q_hot2", ["table", "a", "the"], "or"),
+    ("q_mid2", ["spark", "window"], "or"),
+    ("q_mix3", ["spark", "window", "merge"], "or"),
+    ("q_rare", ["vector", "customer"], "or"),
+    ("q_and2", ["table", "join"], "and"),
+    ("q_and3", ["table", "join", "merge"], "and"),
+]
+K = 10
+
+
+def make_session(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("avs-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+
+
+def bench_corpus(spark: SparkSession, sf_dir: str, replicate: int):
+    from archivesspace_virgo_spark.corpus import load_documents_as_corpus
+
+    base = load_documents_as_corpus(spark, sf_dir)
+    n = base.count()
+    if replicate <= 1:
+        return base, n
+    reps = spark.range(replicate).select(F.col("id").alias("rep"))
+    corpus = (
+        base.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+            "repo",
+            F.concat_ws("/", F.col("path"), F.col("rep").cast("string")).alias("path"),
+            "commit",
+            "lang",
+            F.concat(F.col("content"), F.lit(" rep"), F.col("rep").cast("string")).alias("content"),
+        )
+    )
+    return corpus, n * replicate
+
+
+def run_build_and_queries(cpus: int, run_queries: bool = True) -> dict:
+    from archivesspace_virgo_spark.config import IndexConfig
+    from archivesspace_virgo_spark.index.build import build_index
+    from archivesspace_virgo_spark.index.query import QueryEngine
+
+    spark = make_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        corpus, n_docs = bench_corpus(spark, SF_DIR, REPLICATE)
+        cfg = IndexConfig(docs_per_shard=max(512, n_docs // (cpus * 4)))
+        index_dir = tempfile.mkdtemp(prefix=f"avs_bench_{cpus}_")
+        t0 = time.time()
+        build_index(spark, corpus, index_dir, cfg)
+        build_sec = time.time() - t0
+        out = {
+            "n_docs": n_docs,
+            "build_sec": build_sec,
+            "docs_per_sec": n_docs / build_sec,
+        }
+        if run_queries:
+            engine = QueryEngine(spark, index_dir, cfg)
+            latencies = {}
+            all_lat = []
+            for name, terms, mode in QUERY_SUITE:
+                runs = []
+                for _ in range(3):
+                    tq = time.time()
+                    engine.search(terms, k=K, mode=mode).collect()
+                    runs.append(time.time() - tq)
+                latencies[name] = min(runs)
+                all_lat.extend(runs)
+            out["queries"] = latencies
+            out["query_p95_sec"] = statistics.quantiles(all_lat, n=20)[18]
+        return out
+    finally:
+        spark.stop()
+
+
+def main():
+    t_total = time.time()
+    main_run = run_build_and_queries(CPUS)
+    queries = {"index_build": round(main_run["build_sec"], 3)}
+    for name, sec in main_run.get("queries", {}).items():
+        queries[name] = round(sec, 4)
+
+    extra = {}
+    if SCALING:
+        lo = run_build_and_queries(8, run_queries=False)
+        hi = run_build_and_queries(32, run_queries=False)
+        eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+        extra = {
+            "scaling": {
+                "local8_docs_per_sec": round(lo["docs_per_sec"], 1),
+                "local32_docs_per_sec": round(hi["docs_per_sec"], 1),
+                "efficiency_8_to_32": round(eff, 3),
+            }
+        }
+
+    result = {
+        "metric": "index_build_plus_bm25_query_suite",
+        "value": round(time.time() - t_total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "n_docs": main_run["n_docs"],
+        "build_docs_per_sec": round(main_run["docs_per_sec"], 1),
+        "query_p95_sec": round(main_run.get("query_p95_sec", 0.0), 4),
+        **extra,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
