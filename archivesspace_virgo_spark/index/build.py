@@ -30,6 +30,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 from typing import Iterable, List, Optional
@@ -118,6 +119,29 @@ def term_frequencies(toks: DataFrame) -> DataFrame:
     )
 
 
+def refresh_aggregates(spark: SparkSession, storage: IndexStorage) -> DataFrame:
+    """Recompute lexicon + corpus_stats from per-shard summaries.
+
+    Exact df: shards hold disjoint doc ranges, so summing per-shard n_docs
+    is the two-level exact-df aggregation of SURVEY.md §4.2 (never
+    approx_count_distinct — BM25 rank-identity needs exact df).
+    Returns the postings DataFrame for reuse.
+    """
+    postings = storage.read(spark, "postings")
+    lexicon = postings.groupBy("term").agg(
+        F.sum("n_docs").alias("df"), F.sum("cf").alias("cf")
+    )
+    storage.write(lexicon, "lexicon")
+    all_stats = storage.read(spark, "doc_stats")
+    corpus_stats = all_stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        F.avg("dl").alias("avgdl"),
+    )
+    storage.write(corpus_stats, "corpus_stats")
+    return postings
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -162,6 +186,11 @@ def build_index(
     n_docs_built = corpus.count()
     if n_docs_built == 0:
         corpus.unpersist()
+        # nothing to build, but a deletion-only update still needs fresh
+        # global aggregates over the surviving shards
+        if os.path.exists(storage.path("postings")):
+            refresh_aggregates(spark, storage)
+            storage.write_commit(config, build_id, {"input_fingerprint": fingerprint})
         return {"build_id": build_id, "n_docs": 0, "shards": [], "elapsed_sec": 0.0}
 
     # --- doc_map (identity + ingest invariant; facet columns live here) ---
@@ -185,18 +214,7 @@ def build_index(
     storage.write(packed, "postings", partition_shards=True)
 
     # --- global aggregates (tiny: one row per term / one row total) ---
-    postings = storage.read(spark, "postings")
-    lexicon = postings.groupBy("term").agg(
-        F.sum("n_docs").alias("df"), F.sum("cf").alias("cf")
-    )
-    storage.write(lexicon, "lexicon")
-    all_stats = storage.read(spark, "doc_stats")
-    corpus_stats = all_stats.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("total_tokens"),
-        F.avg("dl").alias("avgdl"),
-    )
-    storage.write(corpus_stats, "corpus_stats")
+    postings = refresh_aggregates(spark, storage)
 
     # --- lineage (per-shard checkpoint rows) + metrics + commit marker ---
     shard_summary = (

@@ -87,6 +87,14 @@ class IndexStorage:
     def append(self, df: DataFrame, table: str) -> None:
         df.write.mode("append").parquet(self.path(table))
 
+    def drop_shard_partition(self, table: str, shard: int) -> None:
+        """Remove one doc_shard partition (Iceberg: DELETE WHERE doc_shard=s)."""
+        import shutil
+
+        p = os.path.join(self.path(table), f"doc_shard={shard}")
+        if os.path.exists(p):
+            shutil.rmtree(p)
+
     # --- commit marker (the reference's persist-hash-after-upload pattern) ---
     def write_commit(self, config: IndexConfig, build_id: str, extra: Optional[dict] = None) -> None:
         os.makedirs(os.path.dirname(self.commit_path), exist_ok=True)
