@@ -28,6 +28,7 @@ dirty-shard logic is identical.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -124,6 +125,17 @@ def incremental_update(
     survivors = ch["unchanged"].unionByName(ch["modified"]).unionByName(ch["added"])
     rebuild = survivors.filter(shard(F.col("doc_id")).isin(dirty_shards))
 
+    # STAGE the rebuild rows before touching the index: the lazy `rebuild`
+    # plan reads doc_map, which build_index is about to overwrite — you must
+    # never overwrite a table a live plan still scans (Iceberg gets this via
+    # snapshot isolation; plain parquet needs an explicit staging write).
+    import shutil
+    import uuid as _uuid
+
+    staging = os.path.join(index_dir, "_staging", _uuid.uuid4().hex[:12])
+    rebuild.write.mode("overwrite").parquet(staging)
+    rebuild = spark.read.parquet(staging)
+
     # a shard fully emptied by deletions writes no partition → dynamic
     # overwrite would leave its old data behind; drop those partitions
     live = {r["s"] for r in rebuild.select(shard(F.col("doc_id")).alias("s")).distinct().collect()}
@@ -132,11 +144,15 @@ def incremental_update(
         for table in ("doc_map", "doc_stats", "postings"):
             storage.drop_shard_partition(table, s)
 
-    meta = build_index(
-        spark, rebuild, index_dir, config,
-        build_id=build_id, input_fingerprint=input_fingerprint,
-        only_shards=dirty_shards,
-    )
+    try:
+        meta = build_index(
+            spark, rebuild, index_dir, config,
+            build_id=build_id, input_fingerprint=input_fingerprint,
+            only_shards=dirty_shards,
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        spark.catalog.refreshByPath(index_dir)
     meta["mode"] = "incremental"
     meta["dirty_shards"] = dirty_shards
     meta["emptied_shards"] = emptied

@@ -1,0 +1,115 @@
+"""Structured-Streaming front-end for the incremental index (SURVEY.md §2.9).
+
+The reference is batch-incremental by hand: a cron run every ``interval``
+hours applies a time-window predicate (IndexRecords.java:46, 124-132) and
+propagates deltas.  The idiomatic Spark mapping is a ``Trigger.AvailableNow``
+stream over the corpus directory with ``foreachBatch`` calling the same
+``incremental_update`` used by the batch path — exactly-once per micro-batch
+via the checkpointed source offsets plus the index's own commit marker.
+
+Also provided: a windowed event aggregation (the reference's run-report
+analog S11) as the streaming-native operator demo — watermark + tumbling
+window, memory sink for tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from archivesspace_virgo_spark.config import IndexConfig
+from archivesspace_virgo_spark.index.incremental import incremental_update
+
+
+def stream_corpus_into_index(
+    spark: SparkSession,
+    corpus_glob: str,
+    corpus_schema: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    config: Optional[IndexConfig] = None,
+):
+    """Index every new corpus file exactly once (AvailableNow → drain & stop).
+
+    Each micro-batch is merged with the SAME shard-scoped incremental path
+    as batch mode — streaming is a scheduling choice, not a second engine.
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    cfg = config or IndexConfig()
+    stream = (
+        spark.readStream.schema(corpus_schema).format("parquet").load(corpus_glob)
+    )
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # The micro-batch is the TRIGGER, not the merge input: a batch holds
+        # only newly-arrived rows, but index maintenance needs full-corpus
+        # semantics (a doc absent from the corpus is a delete).  So re-read
+        # the corpus and let delta detection scope the rebuild to dirty
+        # shards — on Iceberg this read is a snapshot-diff instead.
+        if batch_df.isEmpty():
+            return
+        corpus = spark.read.parquet(corpus_glob)
+        incremental_update(
+            spark, corpus, index_dir, cfg,
+            build_id=f"stream-epoch-{epoch_id}",
+            input_fingerprint=f"epoch-{epoch_id}",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming windowed aggregation (works on batch DataFrames too):
+    per (window, event_type) count + value sum with late-data watermark."""
+    # watermarks need TIMESTAMP (not NTZ); session TZ is pinned UTC so the
+    # cast is value-preserving
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type", "n", "value_sum",
+        )
+    )
+
+
+def run_windowed_events_stream(
+    spark: SparkSession,
+    events_path: str,
+    query_name: str = "event_counts",
+) -> DataFrame:
+    """Drive the windowed agg as a real stream over the events parquet
+    (memory sink, AvailableNow) and return the materialized result."""
+    import os
+    import shutil
+    import tempfile
+
+    if os.path.isfile(events_path):  # file streams need a directory source
+        d = tempfile.mkdtemp(prefix="avs_stream_events_")
+        shutil.copy(events_path, os.path.join(d, os.path.basename(events_path)))
+        events_path = d
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).format("parquet").load(events_path)
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")
