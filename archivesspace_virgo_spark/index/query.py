@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from archivesspace_virgo_spark.config import IndexConfig
-from archivesspace_virgo_spark.index.storage import IndexStorage
+from archivesspace_virgo_spark.index.storage import STATS_TERM, IndexStorage
 
 
 def lucene_idf(n_docs: int, df: int) -> float:
@@ -52,43 +52,84 @@ def _make_shard_scorer(
 ):
     """Per-shard scoring kernel for cogroup-applyInPandas.
 
-    Scores every posting of every query term in the shard with vectorized
-    numpy (np.add.at scatter-accumulate into a dense shard-local array),
-    then partial top-k via argpartition.  Terms are processed in sorted-term
-    order → per-doc float64 accumulation order matches the oracle exactly.
+    Vectorized numpy term-at-a-time scoring (np.add.at scatter-accumulate
+    into a dense shard-local array) with an EXACT MaxScore-style pruning
+    step (Turtle & Flood 1995; block-max bounds per Ding & Suel 2011):
+    terms are scored in decreasing upper-bound order; once the summed upper
+    bound of the remaining terms falls below the running k-th best score,
+    documents not yet touched cannot enter the top-k, so those postings are
+    masked out of the scatter.  Bounds come from the stored per-block
+    (max_tf, min_dl) pairs evaluated against CURRENT avgdl, so pruning stays
+    valid across incremental rebuilds.
+
+    Float determinism: the per-doc accumulation must match the oracle's
+    sorted-term order, so contributions are buffered per term and reduced in
+    sorted-term order at the end (float64 addition is order-sensitive).
     """
     from archivesspace_virgo_spark import codec  # re-imported on workers
 
-    term_order = sorted(range(len(terms)), key=lambda i: terms[i])
     n_query_terms = len(set(terms))
 
-    def score(postings_pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
+    def term_bound(row) -> float:
+        max_tf = np.asarray(row.block_max_tf, dtype=np.float64)
+        min_dl = np.asarray(row.block_min_dl, dtype=np.float64)
+        nrm = k1 * (1.0 - b + b * min_dl / avgdl)
+        return float((max_tf / (max_tf + nrm)).max()) if max_tf.size else 0.0
+
+    def score(postings_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
-        if postings_pdf.empty or stats_pdf.empty:
+        by_term = {
+            t: row
+            for t, row in zip(postings_pdf["term"], postings_pdf.itertuples(index=False))
+        }
+        srow = by_term.pop(STATS_TERM, None)
+        if srow is None or not by_term:
             return empty
         shard = int(postings_pdf["doc_shard"].iloc[0])
         base = shard * docs_per_shard
+        local_ids = codec.varbyte_decode(srow.doc_blob).astype(np.int64)
+        dls = codec.varbyte_decode(srow.tf_blob).astype(np.float64)
         dl = np.zeros(docs_per_shard, dtype=np.float64)
-        local_stats = stats_pdf["doc_id"].to_numpy(dtype=np.int64) - base
-        dl[local_stats] = stats_pdf["dl"].to_numpy(dtype=np.float64)
+        dl[local_ids] = dls
         norm = k1 * (1.0 - b + b * dl / avgdl)
+        present = [(i, terms[i]) for i in range(len(terms)) if terms[i] in by_term]
+        if mode == "and" and len(present) < n_query_terms:
+            return empty
+        # process strongest terms first so the pruning threshold rises fast
+        ubs = {i: idfs[i] * term_bound(by_term[t]) for i, t in present}
+        order_by_ub = sorted(present, key=lambda it: -ubs[it[0]])
+        total_rem = sum(ubs.values())
+
+        sorted_order = sorted(present, key=lambda it: it[1])
+        needs_rescore = len(present) > 1 and order_by_ub != sorted_order
 
         scores = np.zeros(docs_per_shard, dtype=np.float64)
         seen = np.zeros(docs_per_shard, dtype=np.int32)
-        by_term = {t: row for t, row in zip(postings_pdf["term"], postings_pdf.itertuples(index=False))}
-        for i in term_order:
-            row = by_term.get(terms[i])
-            if row is None:
-                continue
+        contribs = {}  # term index -> (local, contrib) for deterministic re-sum
+        theta = -np.inf
+        multi = len(present) > 1
+        for i, t in order_by_ub:
+            row = by_term[t]
+            prune = mode == "or" and total_rem < theta
             doc_ids, tfs = codec.decode_postings(row.doc_blob, row.tf_blob)
             local = doc_ids.astype(np.int64) - base
             tfs = tfs.astype(np.float64)
+            if prune:
+                mask = seen[local] > 0  # untouched docs can't reach theta
+                local, tfs = local[mask], tfs[mask]
             contrib = idfs[i] * tfs / (tfs + norm[local])
             np.add.at(scores, local, contrib)
             np.add.at(seen, local, 1)
+            if needs_rescore:
+                contribs[i] = (local, contrib)
+            total_rem -= ubs[i]
+            if multi and mode == "or" and total_rem > 0:
+                nz = scores[scores > 0]
+                if nz.size >= k:
+                    theta = np.partition(nz, nz.size - k)[nz.size - k]
+
         if mode == "and":
-            scores[seen < n_query_terms] = 0.0
             cand = np.flatnonzero(seen >= n_query_terms)
         else:
             cand = np.flatnonzero(seen > 0)
@@ -99,10 +140,24 @@ def _make_shard_scorer(
             top = np.argpartition(-cs, k - 1)[:k]
             thresh = cs[top].min()
             cand = cand[cs >= thresh]  # keep boundary ties → doc_id tiebreak
-        order = np.lexsort((cand, -scores[cand]))[:k]
-        cand = cand[order]
-        return pd.DataFrame({"doc_id": (cand + base).astype(np.int64),
-                             "score": scores[cand]})
+        if needs_rescore:
+            # deterministic rescore of the winners in sorted-term order
+            # (matches the oracle's float64 accumulation order exactly);
+            # np.add.at applies updates in array order → per-call order is
+            # per-term, calls issued in sorted-term order
+            final = np.zeros(cand.size, dtype=np.float64)
+            idx_map = np.full(docs_per_shard, -1, dtype=np.int64)
+            idx_map[cand] = np.arange(cand.size)
+            for i, _t in sorted_order:
+                local, contrib = contribs[i]
+                mapped = idx_map[local]
+                m = mapped >= 0
+                np.add.at(final, mapped[m], contrib[m])
+        else:
+            final = scores[cand]
+        order = np.lexsort((cand, -final))[:k]
+        return pd.DataFrame({"doc_id": (cand[order] + base).astype(np.int64),
+                             "score": final[order]})
 
     return score
 
@@ -148,16 +203,15 @@ class QueryEngine:
         idfs = [lucene_idf(self.n_docs, stats[t][0]) for t in live]
 
         postings = self.storage.read(self.spark, "postings").filter(
-            F.col("term").isin(live)
+            F.col("term").isin(live + [STATS_TERM])
         )
-        doc_stats = self.storage.read(self.spark, "doc_stats")
         scorer = _make_shard_scorer(
             live, idfs, k, self.config.k1, self.config.b,
             self.avgdl, self.config.docs_per_shard, mode,
         )
-        partials = postings.groupBy("doc_shard").cogroup(
-            doc_stats.groupBy("doc_shard")
-        ).applyInPandas(scorer, schema="doc_id long, score double")
+        partials = postings.groupBy("doc_shard").applyInPandas(
+            scorer, schema="doc_id long, score double"
+        )
         return partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     # --- facets (T11 / A6: Solr facet.field=... IndexRecords.java:134) ---

@@ -58,6 +58,13 @@ DOC_STATS_SCHEMA = T.StructType(
     ]
 )
 
+# Reserved pseudo-term: one row per postings partition carrying the shard's
+# packed doc-length stats (doc_blob = varbyte local ids, tf_blob = varbyte
+# dls).  Co-locating stats with postings makes a query a SINGLE groupBy over
+# one table — no cogroup, one Python-worker pass per shard.  "\x00" cannot
+# appear in a real token (tokenizer admits [a-z0-9] only).
+STATS_TERM = "\x00stats"
+
 
 class IndexStorage:
     def __init__(self, index_dir: str):

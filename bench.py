@@ -95,7 +95,8 @@ def run_build_and_queries(cpus: int, run_queries: bool = True) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         corpus, n_docs = bench_corpus(spark, SF_DIR, REPLICATE)
-        cfg = IndexConfig(docs_per_shard=max(512, n_docs // (cpus * 4)))
+        # ~1 shard per core: each shard is one build task / one query task
+        cfg = IndexConfig(docs_per_shard=max(2048, n_docs // cpus))
         index_dir = tempfile.mkdtemp(prefix=f"avs_bench_{cpus}_")
         t0 = time.time()
         build_index(spark, corpus, index_dir, cfg)
@@ -107,6 +108,8 @@ def run_build_and_queries(cpus: int, run_queries: bool = True) -> dict:
         }
         if run_queries:
             engine = QueryEngine(spark, index_dir, cfg)
+            engine.search(["warmup"], k=K).collect()  # py-worker/JIT warm-up
+            engine.search(["table"], k=K).collect()
             latencies = {}
             all_lat = []
             for name, terms, mode in QUERY_SUITE:
