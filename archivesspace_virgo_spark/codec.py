@@ -94,11 +94,18 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
 
 def encode_postings(
     doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray, block_size: int
-) -> Tuple[bytes, bytes, np.ndarray, np.ndarray, np.ndarray]:
+) -> Tuple[bytes, bytes, bytes, np.ndarray, np.ndarray, np.ndarray]:
     """Pack one term's postings (within a shard).
 
-    Returns (doc_blob, tf_blob, block_last_doc, block_max_tf, block_min_dl).
-    ``doc_ids`` must be strictly increasing; arrays are parallel.
+    Returns (doc_blob, tf_blob, dl_blob, block_last_doc, block_max_tf,
+    block_min_dl).  ``doc_ids`` must be strictly increasing; arrays parallel.
+
+    dl (doc length) is stored PER POSTING rather than in a shard-stats side
+    table: queries then ship only query-term rows — no per-shard stats blob
+    rides the scoring exchange (which would dominate shuffle volume at the
+    10^12-doc design point).  This trades ~30% index size for a
+    stats-shipping-free query path; Lucene makes the same co-location call
+    with its per-doc norms stored in the posting-adjacent .nvd files.
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
@@ -106,9 +113,10 @@ def encode_postings(
     n = doc_ids.size
     doc_blob = varbyte_encode(delta_encode(doc_ids))
     tf_blob = varbyte_encode(tfs.astype(np.uint64))
+    dl_blob = varbyte_encode(doc_lens.astype(np.uint64))
     if n == 0:
         z = np.empty(0, dtype=np.int64)
-        return doc_blob, tf_blob, z, z, z
+        return doc_blob, tf_blob, dl_blob, z, z, z
     n_blocks = (n + block_size - 1) // block_size
     pad = n_blocks * block_size - n
     if pad:
@@ -123,14 +131,18 @@ def encode_postings(
     return (
         doc_blob,
         tf_blob,
+        dl_blob,
         doc_pad[:, -1].copy(),
         tf_pad.max(axis=1),
         dl_pad.min(axis=1),
     )
 
 
-def decode_postings(doc_blob: bytes, tf_blob: bytes) -> Tuple[np.ndarray, np.ndarray]:
-    """Inverse of ``encode_postings`` (doc_ids int64, tfs int64)."""
+def decode_postings(
+    doc_blob: bytes, tf_blob: bytes, dl_blob: bytes = b""
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of ``encode_postings`` (doc_ids, tfs, dls — all int64)."""
     doc_ids = delta_decode(varbyte_decode(doc_blob))
     tfs = varbyte_decode(tf_blob).astype(np.int64)
-    return doc_ids, tfs
+    dls = varbyte_decode(dl_blob).astype(np.int64)
+    return doc_ids, tfs, dls

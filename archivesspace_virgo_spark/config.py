@@ -14,7 +14,7 @@ import json
 from dataclasses import asdict, dataclass, field
 
 #: bump when tokenizer / codec / layout semantics change incompatibly
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
 
 
 @dataclass(frozen=True)

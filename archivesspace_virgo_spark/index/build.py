@@ -45,18 +45,13 @@ from archivesspace_virgo_spark.config import IndexConfig
 from archivesspace_virgo_spark.corpus import assign_doc_ids, with_content_sha
 from archivesspace_virgo_spark.index.storage import (
     POSTINGS_SCHEMA,
-    STATS_TERM,
     IndexStorage,
 )
 from archivesspace_virgo_spark.tokenizer import tokens_column
 
 
-def _make_packer(block_size: int, docs_per_shard: int):
-    """Grouped-map packer: one call per doc_shard, loops terms in numpy.
-
-    Also emits the shard's STATS_TERM row (packed doc lengths) so queries
-    need exactly one scan + one grouped pass.
-    """
+def _make_packer(block_size: int):
+    """Grouped-map packer: one call per doc_shard, loops terms in numpy."""
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -64,7 +59,6 @@ def _make_packer(block_size: int, docs_per_shard: int):
                 columns=[f.name for f in POSTINGS_SCHEMA.fields]
             )
         shard = int(pdf["doc_shard"].iloc[0])
-        base = shard * docs_per_shard
         pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
         terms = pdf["term"].to_numpy()
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
@@ -74,12 +68,12 @@ def _make_packer(block_size: int, docs_per_shard: int):
         bounds = np.append(starts, terms.size)
         out = {
             "doc_shard": [], "term": [], "n_docs": [], "cf": [],
-            "doc_blob": [], "tf_blob": [], "block_last_doc": [],
-            "block_max_tf": [], "block_min_dl": [],
+            "doc_blob": [], "tf_blob": [], "dl_blob": [],
+            "block_last_doc": [], "block_max_tf": [], "block_min_dl": [],
         }
         for i, term in enumerate(uniq):
             s, e = bounds[i], bounds[i + 1]
-            d_blob, t_blob, b_last, b_maxtf, b_mindl = codec.encode_postings(
+            d_blob, t_blob, l_blob, b_last, b_maxtf, b_mindl = codec.encode_postings(
                 doc_ids[s:e], tfs[s:e], dls[s:e], block_size
             )
             out["doc_shard"].append(shard)
@@ -88,24 +82,10 @@ def _make_packer(block_size: int, docs_per_shard: int):
             out["cf"].append(int(tfs[s:e].sum()))
             out["doc_blob"].append(d_blob)
             out["tf_blob"].append(t_blob)
+            out["dl_blob"].append(l_blob)
             out["block_last_doc"].append(b_last.tolist())
             out["block_max_tf"].append(b_maxtf.tolist())
             out["block_min_dl"].append(b_mindl.tolist())
-        # the shard's stats row: packed (local doc ids, dls), sorted by doc
-        stats = (
-            pdf[["doc_id", "dl"]].drop_duplicates("doc_id").sort_values("doc_id")
-        )
-        s_ids = (stats["doc_id"].to_numpy(dtype=np.int64) - base).astype(np.uint64)
-        s_dls = stats["dl"].to_numpy(dtype=np.int64).astype(np.uint64)
-        out["doc_shard"].append(shard)
-        out["term"].append(STATS_TERM)
-        out["n_docs"].append(len(stats))
-        out["cf"].append(0)
-        out["doc_blob"].append(codec.varbyte_encode(s_ids))
-        out["tf_blob"].append(codec.varbyte_encode(s_dls))
-        out["block_last_doc"].append([])
-        out["block_max_tf"].append([])
-        out["block_min_dl"].append([])
         return pd.DataFrame(out)
 
     return pack
@@ -149,10 +129,8 @@ def refresh_aggregates(spark: SparkSession, storage: IndexStorage) -> DataFrame:
     Returns the postings DataFrame for reuse.
     """
     postings = storage.read(spark, "postings")
-    lexicon = (
-        postings.filter(F.col("term") != STATS_TERM)
-        .groupBy("term")
-        .agg(F.sum("n_docs").alias("df"), F.sum("cf").alias("cf"))
+    lexicon = postings.groupBy("term").agg(
+        F.sum("n_docs").alias("df"), F.sum("cf").alias("cf")
     )
     storage.write(lexicon, "lexicon")
     all_stats = storage.read(spark, "doc_stats")
@@ -230,14 +208,11 @@ def build_index(
     )
     tf = term_frequencies(toks)
 
-    # --- pack postings per shard (incl. the per-shard STATS_TERM row) ---
+    # --- pack postings per shard ---
     packed = (
         tf.repartition("doc_shard")
         .groupBy("doc_shard")
-        .applyInPandas(
-            _make_packer(config.block_size, config.docs_per_shard),
-            schema=POSTINGS_SCHEMA,
-        )
+        .applyInPandas(_make_packer(config.block_size), schema=POSTINGS_SCHEMA)
     )
     storage.write(packed, "postings", partition_shards=True)
 

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from archivesspace_virgo_spark.config import IndexConfig
-from archivesspace_virgo_spark.index.storage import STATS_TERM, IndexStorage
+from archivesspace_virgo_spark.index.storage import IndexStorage
 
 
 def lucene_idf(n_docs: int, df: int) -> float:
@@ -83,16 +83,10 @@ def _make_shard_scorer(
             t: row
             for t, row in zip(postings_pdf["term"], postings_pdf.itertuples(index=False))
         }
-        srow = by_term.pop(STATS_TERM, None)
-        if srow is None or not by_term:
+        if not by_term:
             return empty
         shard = int(postings_pdf["doc_shard"].iloc[0])
         base = shard * docs_per_shard
-        local_ids = codec.varbyte_decode(srow.doc_blob).astype(np.int64)
-        dls = codec.varbyte_decode(srow.tf_blob).astype(np.float64)
-        dl = np.zeros(docs_per_shard, dtype=np.float64)
-        dl[local_ids] = dls
-        norm = k1 * (1.0 - b + b * dl / avgdl)
         present = [(i, terms[i]) for i in range(len(terms)) if terms[i] in by_term]
         if mode == "and" and len(present) < n_query_terms:
             return empty
@@ -112,13 +106,16 @@ def _make_shard_scorer(
         for i, t in order_by_ub:
             row = by_term[t]
             prune = mode == "or" and total_rem < theta
-            doc_ids, tfs = codec.decode_postings(row.doc_blob, row.tf_blob)
+            doc_ids, tfs, dls = codec.decode_postings(
+                row.doc_blob, row.tf_blob, row.dl_blob
+            )
             local = doc_ids.astype(np.int64) - base
             tfs = tfs.astype(np.float64)
+            dls = dls.astype(np.float64)
             if prune:
                 mask = seen[local] > 0  # untouched docs can't reach theta
-                local, tfs = local[mask], tfs[mask]
-            contrib = idfs[i] * tfs / (tfs + norm[local])
+                local, tfs, dls = local[mask], tfs[mask], dls[mask]
+            contrib = idfs[i] * tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
             np.add.at(scores, local, contrib)
             np.add.at(seen, local, 1)
             if needs_rescore:
@@ -203,7 +200,7 @@ class QueryEngine:
         idfs = [lucene_idf(self.n_docs, stats[t][0]) for t in live]
 
         postings = self.storage.read(self.spark, "postings").filter(
-            F.col("term").isin(live + [STATS_TERM])
+            F.col("term").isin(live)
         )
         scorer = _make_shard_scorer(
             live, idfs, k, self.config.k1, self.config.b,

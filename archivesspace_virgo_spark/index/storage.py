@@ -44,6 +44,7 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("cf", T.LongType(), False),
         T.StructField("doc_blob", T.BinaryType(), False),
         T.StructField("tf_blob", T.BinaryType(), False),
+        T.StructField("dl_blob", T.BinaryType(), False),
         T.StructField("block_last_doc", T.ArrayType(T.LongType()), False),
         T.StructField("block_max_tf", T.ArrayType(T.LongType()), False),
         T.StructField("block_min_dl", T.ArrayType(T.LongType()), False),
@@ -58,12 +59,6 @@ DOC_STATS_SCHEMA = T.StructType(
     ]
 )
 
-# Reserved pseudo-term: one row per postings partition carrying the shard's
-# packed doc-length stats (doc_blob = varbyte local ids, tf_blob = varbyte
-# dls).  Co-locating stats with postings makes a query a SINGLE groupBy over
-# one table — no cogroup, one Python-worker pass per shard.  "\x00" cannot
-# appear in a real token (tokenizer admits [a-z0-9] only).
-STATS_TERM = "\x00stats"
 
 
 class IndexStorage:

@@ -38,12 +38,13 @@ def test_encode_postings_roundtrip_and_blockmax():
         doc_ids = np.sort(rng.choice(10**6, size=n, replace=False)).astype(np.int64)
         tfs = rng.integers(1, 50, size=n).astype(np.int64)
         dls = rng.integers(1, 5000, size=n).astype(np.int64)
-        d_blob, t_blob, b_last, b_maxtf, b_mindl = codec.encode_postings(
+        d_blob, t_blob, l_blob, b_last, b_maxtf, b_mindl = codec.encode_postings(
             doc_ids, tfs, dls, block_size=128
         )
-        got_ids, got_tfs = codec.decode_postings(d_blob, t_blob)
+        got_ids, got_tfs, got_dls = codec.decode_postings(d_blob, t_blob, l_blob)
         assert (got_ids == doc_ids).all()
         assert (got_tfs == tfs).all()
+        assert (got_dls == dls).all()
         # block-max invariants: every posting's (tf, dl) is bounded by its
         # block's (max_tf, min_dl); block_last_doc is the block's last doc
         n_blocks = len(b_last)
@@ -55,9 +56,9 @@ def test_encode_postings_roundtrip_and_blockmax():
 
 
 def test_empty_postings():
-    d, t, bl, bm, bd = codec.encode_postings(
+    d, t, l, bl, bm, bd = codec.encode_postings(
         np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
         np.empty(0, dtype=np.int64), 128,
     )
-    ids, tfs = codec.decode_postings(d, t)
-    assert ids.size == 0 and tfs.size == 0 and len(bl) == 0
+    ids, tfs, dls = codec.decode_postings(d, t, l)
+    assert ids.size == 0 and tfs.size == 0 and dls.size == 0 and len(bl) == 0
