@@ -63,14 +63,13 @@ def assign_doc_ids(df: DataFrame, num_partitions: int = 32) -> DataFrame:
     return out
 
 
-def load_documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adapt the driver's ``documents`` table (doc_id, text, lang, source,
+def adapt_documents(docs: DataFrame) -> DataFrame:
+    """Adapt a driver-shaped ``documents`` table (doc_id, text, lang, source,
     n_chars) into the input_hint shape, keeping its stable doc_id.
 
     FIXTURES.md §1: text→content, source→repo, path=f"doc/{doc_id}",
     commit=sha256(doc_id).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("source").alias("repo"),
@@ -79,3 +78,8 @@ def load_documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
         F.col("text").alias("content"),
     )
+
+
+def load_documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the driver's documents.parquet and adapt it (see adapt_documents)."""
+    return adapt_documents(spark.read.parquet(f"{sf_dir}/documents.parquet"))
