@@ -200,6 +200,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select("vec_id", _micro(F.col("cos")).alias("cos_micro"))
     q["ann_lsh_topk"] = q_ann_lsh  # rows-only: approximate by design
 
+    def q_neardup_exact(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        res = S.embedding_neardup_pairs(emb, threshold=0.35)
+        return res.select("id_a", "id_b", _micro(F.col("cos")).alias("cos_micro"))
+    q["embedding_neardup_exact"] = q_neardup_exact
+
+    def q_neardup_lsh(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        res = S.embedding_neardup_pairs_lsh(emb, threshold=0.35, n_planes=4)
+        return res.select("id_a", "id_b", _micro(F.col("cos")).alias("cos_micro"))
+    q["embedding_neardup_lsh"] = q_neardup_lsh  # rows-only: recall<1 by design
+
     # --- reference ETL parity ops over the TPC-H-ish tables ---
     def q_natural_sort(spark, sf_dir):
         p = spark.read.parquet(f"{sf_dir}/part.parquet")
@@ -442,6 +454,12 @@ FROM documents d JOIN packed p ON d.doc_id = p._id
     o["cosine_topk"] = (
         "SELECT vec_id, {m} AS cos_micro FROM ({inner}) t".format(
             m=micro("cos"), inner=S.cosine_topk_sql(ANN_QUERY, k=K)
+        )
+    )
+
+    o["embedding_neardup_exact"] = (
+        "SELECT id_a, id_b, {m} AS cos_micro FROM ({inner}) t".format(
+            m=micro("cos"), inner=S.embedding_neardup_pairs_sql(threshold=0.35)
         )
     )
 

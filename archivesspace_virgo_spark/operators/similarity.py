@@ -98,6 +98,94 @@ def lsh_bucket(vec_col: Column, planes: List[List[float]]) -> Column:
     return bucket
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (id_a < id_b, cos).
+
+    Correctness baseline: full self-join with cosine >= threshold, all math
+    in JVM expressions.  Norms are precomputed once per side (projection,
+    not recomputation per pair).  Quadratic — at 100 TB use
+    ``embedding_neardup_pairs_lsh`` which blocks the join on an LSH bucket.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        F.sqrt(_dot(v, v)).alias("_n"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cos, 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_sql(
+    threshold: float = 0.9,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for ``embedding_neardup_pairs`` (identical math)."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS _id, {vec_col}::DOUBLE[] AS _v,
+         sqrt(list_dot_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[])) AS _n
+  FROM {table}
+)
+SELECT a._id AS id_a, b._id AS id_b,
+       round(list_dot_product(a._v, b._v) / (a._n * b._n), 6) AS cos
+FROM base a JOIN base b ON a._id < b._id
+WHERE round(list_dot_product(a._v, b._v) / (a._n * b._n), 6) >= {threshold}
+"""
+
+
+def embedding_neardup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path: block the self-join on the LSH bucket (docs only pair
+    within a bucket), then exact cosine re-rank.  Misses cross-bucket pairs
+    (recall<1, rises with threshold); every returned pair is exact.  The
+    bucket id becomes a partition column at scale → co-partitioned join, no
+    full cross product (same trick as dedup.minhash_band_pairs)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = deterministic_hyperplanes(dim, n_planes, seed)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        F.sqrt(_dot(v, v)).alias("_n"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+    return (
+        a.join(b, (F.col("a._bucket") == F.col("b._bucket"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cos, 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     query_vec: Sequence[float],

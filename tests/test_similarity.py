@@ -1,0 +1,51 @@
+"""Embedding similarity operators: exact vs LSH consistency."""
+
+import numpy as np
+import pytest
+
+from archivesspace_virgo_spark.operators import similarity as S
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").cache()
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = np.asarray(S.deterministic_hyperplanes(64, 1, seed=7)[0])
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -cos))[:10]
+    expected = [(int(ids[i]), round(float(cos[i]), 6)) for i in order]
+    got = [(r["vec_id"], r["cos"]) for r in S.cosine_topk(emb, q, k=10).collect()]
+    assert [g[0] for g in got] == [e[0] for e in expected]
+    for (_, gc), (_, ec) in zip(got, expected):
+        assert abs(gc - ec) < 1e-6
+
+
+def test_neardup_lsh_subset_of_exact(spark, emb):
+    """Every LSH-blocked pair is in the exact set with the same cosine
+    (precision = 1); recall is whatever the bucketing yields."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in S.embedding_neardup_pairs(emb, threshold=0.3).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in S.embedding_neardup_pairs_lsh(emb, threshold=0.3, n_planes=4).collect()
+    }
+    assert exact, "threshold too high: no exact pairs — test is vacuous"
+    assert lsh, "no LSH pairs survived bucketing"
+    for pair, cos in lsh.items():
+        assert pair in exact
+        assert abs(cos - exact[pair]) < 1e-9
+
+
+def test_neardup_exact_symmetric_ordering(spark, emb):
+    res = S.embedding_neardup_pairs(emb, threshold=0.3).collect()
+    for r in res:
+        assert r["id_a"] < r["id_b"]
