@@ -54,14 +54,17 @@ def _micro(col):
     return F.round(col * 1000000.0).cast("long")
 
 
-def _engine_for(spark: SparkSession, sf_dir: str) -> QueryEngine:
-    if sf_dir not in _ENGINE_CACHE:
-        cfg = IndexConfig(docs_per_shard=256)
+def _engine_for(
+    spark: SparkSession, sf_dir: str, fields: tuple = ("content",)
+) -> QueryEngine:
+    key = (sf_dir, fields)
+    if key not in _ENGINE_CACHE:
+        cfg = IndexConfig(docs_per_shard=256, fields=fields)
         index_dir = tempfile.mkdtemp(prefix="avs_entry_idx_")
         corpus = load_documents_as_corpus(spark, sf_dir)
         build_index(spark, corpus, index_dir, cfg)
-        _ENGINE_CACHE[sf_dir] = QueryEngine(spark, index_dir, cfg)
-    return _ENGINE_CACHE[sf_dir]
+        _ENGINE_CACHE[key] = QueryEngine(spark, index_dir, cfg)
+    return _ENGINE_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -99,6 +102,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_and"] = _q_bm25("and", TERMS_AND)
     q["bm25_topk_rare"] = _q_bm25("or", TERMS_RARE)
     q["bm25_engine_topk"] = _q_bm25_engine(TERMS_OR)
+
+    def q_bm25_field_scoped(spark, sf_dir):
+        # SURVEY §2.8-T10: Solr-style field-scoped clause (lang:en) AND a
+        # content term, through the compressed-index engine with per-field
+        # norms (lang field: dl=1, avgdl=1 for every doc)
+        engine = _engine_for(spark, sf_dir, fields=("content", "lang"))
+        res = engine.search(["table", "lang:en"], k=K, mode="and")
+        return res.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+    q["bm25_field_scoped"] = q_bm25_field_scoped
+
+    def q_bm25_paged(spark, sf_dir):
+        # O3: Solr cursor paging (start=10&rows=10, SolrHelper.java:43-66)
+        engine = _engine_for(spark, sf_dir)
+        res = engine.search(TERMS_OR, k=K, offset=10)
+        return res.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+    q["bm25_paged"] = q_bm25_paged
+
+    def q_facet_search(spark, sf_dir):
+        # T11/A6: facet.field over the full result set of a query
+        engine = _engine_for(spark, sf_dir)
+        return engine.facet_search(TERMS_OR, "lang")
+    q["facet_search_lang"] = q_facet_search
 
     def q_doc_stats(spark, sf_dir):
         from archivesspace_virgo_spark.tokenizer import tokens_column
@@ -359,6 +384,54 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk_and"] = bm25_micro(TERMS_AND, "and")
     o["bm25_topk_rare"] = bm25_micro(TERMS_RARE, "or")
     o["bm25_engine_topk"] = bm25_micro(TERMS_OR, "or")
+
+    # field-scoped AND: content BM25 for 'table' + lang-field contribution.
+    # The lang field tokenizes to exactly one token per doc -> dl=1, avgdl=1,
+    # tf=1, so its per-doc BM25 term is idf_lang * 1/(1 + k1*(1-b+b*1/1)),
+    # written below with the engine's literal formula shape.
+    o["bm25_field_scoped"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest({_TOKS}) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
+        FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id)
+),
+dft AS (SELECT count(*) AS df FROM tf WHERE term = 'table'),
+langdf AS (SELECT count(*) AS df FROM documents WHERE lower(lang) = 'en'),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         + ln(1.0 + (stats.n_docs - langdf.df + 0.5) / (langdf.df + 0.5))
+           * 1.0 / (1.0 + 1.2 * (1.0 - 0.75 + 0.75 * 1.0 / 1.0)) AS _score
+  FROM tf
+  JOIN documents d ON tf.doc_id = d.doc_id
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats CROSS JOIN dft CROSS JOIN langdf
+  WHERE tf.term = 'table' AND lower(d.lang) = 'en'
+)
+SELECT doc_id, CAST(round(_score * 1000000.0) AS BIGINT) AS score_micro
+FROM scored ORDER BY _score DESC, doc_id ASC LIMIT {K}
+"""
+
+    paged_inner = bm25_oracle_sql(TERMS_OR, k=K, mode="or", offset=10)
+    o["bm25_paged"] = (
+        f"SELECT doc_id, {micro('score')} AS score_micro FROM ({paged_inner}) t"
+    )
+
+    terms_list = ", ".join(f"'{t}'" for t in TERMS_OR)
+    o["facet_search_lang"] = f"""
+SELECT lang, count(*) AS facet_count
+FROM documents
+WHERE len(list_intersect({_TOKS}, [{terms_list}])) > 0
+GROUP BY lang
+"""
 
     o["doc_stats"] = f"SELECT doc_id, len({_TOKS}) AS dl FROM documents"
 

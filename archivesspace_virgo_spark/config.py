@@ -14,7 +14,7 @@ import json
 from dataclasses import asdict, dataclass, field
 
 #: bump when tokenizer / codec / layout semantics change incompatibly
-FORMAT_VERSION = 4
+FORMAT_VERSION = 5
 
 
 @dataclass(frozen=True)
@@ -33,6 +33,15 @@ class IndexConfig:
 
     # tokenizer identity (see tokenizer.py; changing the regex is a new index)
     tokenizer: str = "ascii_alnum_lower_v1"
+
+    # indexed fields (SURVEY.md §2.8-T10: the reference's Solr surface scopes
+    # queries per field, e.g. ``types:repository`` IndexRecords.java:174).
+    # fields[0] is the DEFAULT field: its terms are stored bare; any other
+    # field f stores terms as "f:token" — a composite (field, term) key that
+    # cannot collide with content tokens because ':' never survives the
+    # tokenizer.  Each field has its own dl / avgdl (per-field norms, like
+    # Lucene's per-field similarity stats).
+    fields: tuple = ("content",)
 
     # storage format ("parquet" here; "iceberg" on a cluster with the runtime
     # jar — the storage layer only relies on atomic directory-swap semantics

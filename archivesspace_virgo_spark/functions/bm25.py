@@ -101,6 +101,7 @@ def bm25_oracle_sql(
     text_col: str = "text",
     k1: float = K1,
     b: float = B,
+    offset: int = 0,
 ) -> str:
     """DuckDB SQL computing the identical top-k (driver oracle)."""
     uniq = sorted(set(terms))
@@ -134,5 +135,5 @@ scored AS (
 SELECT doc_id, round(_score, {ROUND}) AS score
 FROM scored
 ORDER BY _score DESC, doc_id ASC
-LIMIT {k}
+LIMIT {k} OFFSET {offset}
 """

@@ -3,8 +3,9 @@
 Dataflow (all declarative until the one packing UDF):
 
     corpus (doc_id, content, ...)                       [parquet/Iceberg scan]
-      → tokens_column (JVM split/lower/filter — codegen, no Python)
-      → doc_stats: (doc_shard, doc_id, dl)              [narrow]
+      → tokens_column per indexed field (JVM split/lower/filter — codegen,
+        no Python); non-default fields prefix their terms "field:token"
+      → doc_stats: (doc_shard, doc_id, field, dl)       [narrow]
       → posexplode-free tf: explode(tokens) → groupBy(doc_shard, doc_id, dl,
         term).count()                                   [shuffle 1: partial
         map-side combine via hash agg]
@@ -92,29 +93,54 @@ def _make_packer(block_size: int):
 
 
 def tokenized(corpus: DataFrame, config: IndexConfig) -> DataFrame:
-    """(doc_shard, doc_id, toks) — the analyzed relation (JVM-side)."""
+    """(doc_shard, doc_id, field, toks) — the analyzed relation (JVM-side).
+
+    One row per (doc, indexed field); union of per-field narrow projections
+    (no shuffle — unions of maps stay maps).  Missing columns raise early.
+    """
+    missing = [f for f in config.fields if f not in corpus.columns]
+    if missing:
+        raise ValueError(f"corpus lacks indexed field column(s) {missing}")
     shard = (F.col("doc_id") / F.lit(config.docs_per_shard)).cast("int")
-    return corpus.select(
-        shard.alias("doc_shard"),
-        "doc_id",
-        tokens_column("content").alias("toks"),
-    )
+    parts = [
+        corpus.select(
+            shard.alias("doc_shard"),
+            "doc_id",
+            F.lit(f).alias("field"),
+            tokens_column(f).alias("toks"),
+        )
+        for f in config.fields
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
-def term_frequencies(toks: DataFrame) -> DataFrame:
+def term_frequencies(toks: DataFrame, config: IndexConfig) -> DataFrame:
     """(doc_shard, doc_id, dl, term, tf) — the pre-packing long relation.
 
-    dl is carried through the explode as a grouping key (functionally
-    dependent on doc_id) so no join with doc_stats is ever needed.
-    Empty documents vanish here (explode of []) but stay in doc_stats.
+    dl is the PER-FIELD token count, carried through the explode as a
+    grouping key (functionally dependent on (doc_id, field)) so no join with
+    doc_stats is ever needed.  Non-default-field terms are stored prefixed
+    ("field:token"), which makes (field, term) a single composite key — a
+    term determines its field, so after prefixing the field column drops
+    out.  Empty fields vanish here (explode of []) but stay in doc_stats.
     """
+    default = config.fields[0]
+    tok = F.col("tok")
+    stored = F.when(F.col("field") == default, tok).otherwise(
+        F.concat(F.col("field"), F.lit(":"), tok)
+    )
     return (
         toks.select(
             "doc_shard",
             "doc_id",
+            "field",
             F.size("toks").alias("dl"),
-            F.explode("toks").alias("term"),
+            F.explode("toks").alias("tok"),
         )
+        .select("doc_shard", "doc_id", "dl", stored.alias("term"))
         .groupBy("doc_shard", "doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -134,7 +160,7 @@ def refresh_aggregates(spark: SparkSession, storage: IndexStorage) -> DataFrame:
     )
     storage.write(lexicon, "lexicon")
     all_stats = storage.read(spark, "doc_stats")
-    corpus_stats = all_stats.agg(
+    corpus_stats = all_stats.groupBy("field").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
         F.avg("dl").alias("avgdl"),
@@ -202,11 +228,13 @@ def build_index(
     # --- tf relation + doc stats (doc_stats BEFORE explode so dl=0 docs
     # still count toward N / avgdl, matching the oracle) ---
     toks = tokenized(corpus, config)
-    doc_stats = toks.select("doc_shard", "doc_id", F.size("toks").alias("dl"))
+    doc_stats = toks.select(
+        "doc_shard", "doc_id", "field", F.size("toks").alias("dl")
+    )
     storage.write(
         doc_stats.repartition("doc_shard"), "doc_stats", partition_shards=True
     )
-    tf = term_frequencies(toks)
+    tf = term_frequencies(toks, config)
 
     # --- pack postings per shard ---
     packed = (

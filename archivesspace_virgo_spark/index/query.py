@@ -43,10 +43,10 @@ def lucene_idf(n_docs: int, df: int) -> float:
 def _make_shard_scorer(
     terms: List[str],
     idfs: List[float],
+    avgdls: List[float],
     k: int,
     k1: float,
     b: float,
-    avgdl: float,
     docs_per_shard: int,
     mode: str,
 ):
@@ -70,7 +70,7 @@ def _make_shard_scorer(
 
     n_query_terms = len(set(terms))
 
-    def term_bound(row) -> float:
+    def term_bound(row, avgdl: float) -> float:
         max_tf = np.asarray(row.block_max_tf, dtype=np.float64)
         min_dl = np.asarray(row.block_min_dl, dtype=np.float64)
         nrm = k1 * (1.0 - b + b * min_dl / avgdl)
@@ -91,7 +91,7 @@ def _make_shard_scorer(
         if mode == "and" and len(present) < n_query_terms:
             return empty
         # process strongest terms first so the pruning threshold rises fast
-        ubs = {i: idfs[i] * term_bound(by_term[t]) for i, t in present}
+        ubs = {i: idfs[i] * term_bound(by_term[t], avgdls[i]) for i, t in present}
         order_by_ub = sorted(present, key=lambda it: -ubs[it[0]])
         total_rem = sum(ubs.values())
 
@@ -115,7 +115,7 @@ def _make_shard_scorer(
             if prune:
                 mask = seen[local] > 0  # untouched docs can't reach theta
                 local, tfs, dls = local[mask], tfs[mask], dls[mask]
-            contrib = idfs[i] * tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+            contrib = idfs[i] * tfs / (tfs + k1 * (1.0 - b + b * dls / avgdls[i]))
             np.add.at(scores, local, contrib)
             np.add.at(seen, local, 1)
             if needs_rescore:
@@ -177,9 +177,25 @@ class QueryEngine:
                 "rebuild required (reference pattern: transform-hash "
                 "invalidation, IndexRecordsForV4.java:44-64)"
             )
-        row = self.storage.read(spark, "corpus_stats").collect()[0]
-        self.n_docs = int(row["n_docs"])
-        self.avgdl = float(row["avgdl"])
+        rows = self.storage.read(spark, "corpus_stats").collect()
+        #: per-field (n_docs, avgdl) — per-field norms (SURVEY §2.8-T10)
+        self.field_stats = {
+            r["field"]: (int(r["n_docs"]), float(r["avgdl"])) for r in rows
+        }
+        default = self.config.fields[0]
+        self.n_docs, self.avgdl = self.field_stats[default]
+
+    def _parse_term(self, term: str):
+        """'path:foo' → (field='path', stored='path:foo') when 'path' is an
+        indexed non-default field; otherwise the whole string is a default-
+        field term stored bare (the reference's Solr field-scope syntax,
+        ``types:repository`` IndexRecords.java:174)."""
+        default = self.config.fields[0]
+        if ":" in term:
+            prefix = term.split(":", 1)[0]
+            if prefix in self.field_stats and prefix != default:
+                return prefix, term
+        return default, term
 
     # --- term stats (T4) ---
     def term_stats(self, terms: Sequence[str]) -> dict:
@@ -188,28 +204,57 @@ class QueryEngine:
         return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
 
     # --- the headline operator: BM25 top-k (T6/T7/T8) ---
-    def search(self, terms: Sequence[str], k: int = 10, mode: str = "or") -> DataFrame:
-        """Returns DataFrame(doc_id long, score double), ordered, ≤ k rows."""
-        uniq = sorted(set(terms))
+    def search(self, terms: Sequence[str], k: int = 10, mode: str = "or",
+               offset: int = 0) -> DataFrame:
+        """Returns DataFrame(doc_id long, score double), ordered, ≤ k rows.
+
+        ``offset`` is Solr's cursor paging (``start=N&rows=k``,
+        SolrHelper.java:43-66): each shard returns its top (offset+k)
+        partials — a page deep in the results costs offset+k rows per shard,
+        exactly like Lucene's collector; the global TakeOrderedAndProject
+        then skips ``offset`` rows deterministically (score desc, doc_id)."""
+        parsed = {self._parse_term(t) for t in terms}
+        uniq = sorted(stored for _f, stored in parsed)
+        fields = {stored: f for f, stored in parsed}
         stats = self.term_stats(uniq)
         live = [t for t in uniq if t in stats]
         if mode == "and" and len(live) != len(uniq):
             live = []  # an absent term empties an AND query
         if not live:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        idfs = [lucene_idf(self.n_docs, stats[t][0]) for t in live]
+        # idf from the term's OWN field corpus (per-field N and avgdl)
+        idfs = [
+            lucene_idf(self.field_stats[fields[t]][0], stats[t][0]) for t in live
+        ]
+        avgdls = [self.field_stats[fields[t]][1] for t in live]
 
         postings = self.storage.read(self.spark, "postings").filter(
             F.col("term").isin(live)
         )
         scorer = _make_shard_scorer(
-            live, idfs, k, self.config.k1, self.config.b,
-            self.avgdl, self.config.docs_per_shard, mode,
+            live, idfs, avgdls, k + offset, self.config.k1, self.config.b,
+            self.config.docs_per_shard, mode,
         )
         partials = postings.groupBy("doc_shard").applyInPandas(
             scorer, schema="doc_id long, score double"
         )
-        return partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        ordered = partials.orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            ordered = ordered.offset(offset)
+        return ordered.limit(k)
+
+    # --- facet over a result page (Solr: q=...&facet.field=f,
+    # IndexRecords.java:134-135): counts of a doc_map field across ALL
+    # matching docs (facets count the full result set, not just the page) ---
+    def facet_search(self, terms: Sequence[str], field: str,
+                     mode: str = "or") -> DataFrame:
+        hits = self.search(terms, k=self.n_docs or 1, mode=mode).select("doc_id")
+        dm = self.storage.read(self.spark, "doc_map")
+        return (
+            dm.join(hits, "doc_id", "left_semi")
+            .groupBy(field)
+            .agg(F.count(F.lit(1)).alias("facet_count"))
+        )
 
     # --- facets (T11 / A6: Solr facet.field=... IndexRecords.java:134) ---
     def facet(self, field: str, where: Optional[str] = None) -> DataFrame:

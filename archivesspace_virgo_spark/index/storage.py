@@ -5,12 +5,14 @@ tables — the code relies only on atomic-commit + partition-overwrite
 semantics both provide):
 
     doc_map/      (doc_shard=N/) doc_id, repo, path, commit, lang, content_sha256
-    doc_stats/    (doc_shard=N/) doc_id, dl
+    doc_stats/    (doc_shard=N/) doc_id, field, dl     (per-field lengths)
     postings/     (doc_shard=N/) term, n_docs, cf, doc_blob, tf_blob,
                                  block_last_doc, block_max_tf, block_min_dl
+                  (non-default-field terms stored prefixed "field:token" —
+                   the composite (field, term) key of SURVEY §2.8-T10)
     lexicon/      term, df, cf                (global agg; df exact — shards
                                                hold disjoint doc ranges)
-    corpus_stats/ n_docs, total_tokens, avgdl
+    corpus_stats/ field, n_docs, total_tokens, avgdl   (per-field norms)
     _lineage/     build_id, doc_shard, input_fingerprint, n_docs, n_terms, finished_at
     _metrics/     build_id, phase, metric, value, ts
     _meta/commit.json   config hash + build metadata — written LAST
@@ -55,10 +57,10 @@ DOC_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_shard", T.IntegerType(), False),
         T.StructField("doc_id", T.LongType(), False),
+        T.StructField("field", T.StringType(), False),
         T.StructField("dl", T.LongType(), False),
     ]
 )
-
 
 
 class IndexStorage:

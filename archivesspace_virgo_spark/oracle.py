@@ -56,6 +56,60 @@ def build_oracle_index(docs: Sequence[Tuple[int, str]]) -> OracleIndex:
     return OracleIndex(doc_ids, doc_tfs, doc_lens, df, n, avgdl)
 
 
+def build_oracle_index_fields(
+    docs: Sequence[Tuple[int, Dict[str, str]]], fields: Sequence[str]
+) -> Dict[str, OracleIndex]:
+    """Multi-field oracle: one independent OracleIndex per field (per-field
+    df/dl/avgdl — the per-field norms of SURVEY §2.8-T10)."""
+    return {
+        f: build_oracle_index([(doc_id, vals.get(f, "")) for doc_id, vals in docs])
+        for f in fields
+    }
+
+
+def oracle_search_fields(
+    indexes: Dict[str, OracleIndex],
+    default_field: str,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    mode: str = "or",
+) -> List[Tuple[int, float]]:
+    """Field-scoped brute-force BM25: 'path:foo' scores against the 'path'
+    index, bare terms against the default field; per-doc sum across fields
+    in sorted stored-term order (matching the engine's accumulation)."""
+    parsed = {}
+    for t in set(terms):
+        field = default_field
+        if ":" in t:
+            prefix = t.split(":", 1)[0]
+            if prefix in indexes and prefix != default_field:
+                field = prefix
+        parsed[t] = (field, t.split(":", 1)[1] if field != default_field else t)
+    stored_sorted = sorted(parsed)
+    by_doc: Dict[int, Dict[str, float]] = {}
+    for stored in stored_sorted:
+        field, tok = parsed[stored]
+        idx = indexes[field]
+        t_idf = idf(idx.n_docs, idx.df.get(tok, 0))
+        for doc_id, tfs, dl in zip(idx.doc_ids, idx.doc_tfs, idx.doc_lens):
+            if tok not in tfs:
+                continue
+            norm = idx.avgdl and (1.0 - b + b * dl / idx.avgdl)
+            contrib = t_idf * tfs[tok] / (tfs[tok] + k1 * norm)
+            by_doc.setdefault(doc_id, {})[stored] = contrib
+    scored = []
+    for doc_id, contribs in by_doc.items():
+        if mode == "and" and len(contribs) != len(parsed):
+            continue
+        scored.append(
+            (doc_id, sum(contribs[t] for t in stored_sorted if t in contribs))
+        )
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
 def oracle_search(
     index: OracleIndex,
     terms: Sequence[str],

@@ -86,7 +86,34 @@ def bench_corpus(spark: SparkSession, sf_dir: str, replicate: int):
     return corpus, n * replicate
 
 
-def run_build_and_queries(cpus: int, run_queries: bool = True) -> dict:
+def index_digest(spark, index_dir: str) -> str:
+    """Order-independent content digest of postings+lexicon: sum of per-row
+    xxhash64 over every value-bearing column.  Used to evidence that the
+    local[8] and local[32] builds emit the IDENTICAL index (the determinism
+    leg of the N-vs-4N scaling protocol)."""
+    from archivesspace_virgo_spark.index.storage import IndexStorage
+
+    st = IndexStorage(index_dir)
+    p = st.read(spark, "postings")
+    h1 = p.select(
+        F.sum(
+            F.xxhash64(
+                "doc_shard", "term", "n_docs", "cf", "doc_blob", "tf_blob",
+                "dl_blob",
+                F.col("block_last_doc").cast("string"),
+                F.col("block_max_tf").cast("string"),
+                F.col("block_min_dl").cast("string"),
+            )
+        ).alias("h")
+    ).collect()[0]["h"]
+    lx = st.read(spark, "lexicon")
+    h2 = lx.select(F.sum(F.xxhash64("term", "df", "cf")).alias("h")).collect()[0]["h"]
+    return f"{h1:x}-{h2:x}"
+
+
+def run_build_and_queries(cpus: int, run_queries: bool = True,
+                          want_digest: bool = False,
+                          docs_per_shard: int | None = None) -> dict:
     from archivesspace_virgo_spark.config import IndexConfig
     from archivesspace_virgo_spark.index.build import build_index
     from archivesspace_virgo_spark.index.query import QueryEngine
@@ -95,8 +122,12 @@ def run_build_and_queries(cpus: int, run_queries: bool = True) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         corpus, n_docs = bench_corpus(spark, SF_DIR, REPLICATE)
-        # ~1 shard per core: each shard is one build task / one query task
-        cfg = IndexConfig(docs_per_shard=max(2048, n_docs // cpus))
+        # ~1 shard per core: each shard is one build task / one query task.
+        # Scaling runs pin docs_per_shard so both parallelism levels execute
+        # the IDENTICAL job (same shards, same output bytes).
+        cfg = IndexConfig(
+            docs_per_shard=docs_per_shard or max(2048, n_docs // cpus)
+        )
         index_dir = tempfile.mkdtemp(prefix=f"avs_bench_{cpus}_")
         t0 = time.time()
         build_index(spark, corpus, index_dir, cfg)
@@ -106,6 +137,8 @@ def run_build_and_queries(cpus: int, run_queries: bool = True) -> dict:
             "build_sec": build_sec,
             "docs_per_sec": n_docs / build_sec,
         }
+        if want_digest:
+            out["digest"] = index_digest(spark, index_dir)
         if run_queries:
             engine = QueryEngine(spark, index_dir, cfg)
             engine.search(["warmup"], k=K).collect()  # py-worker/JIT warm-up
@@ -136,14 +169,18 @@ def main():
 
     extra = {}
     if SCALING:
-        lo = run_build_and_queries(8, run_queries=False)
-        hi = run_build_and_queries(32, run_queries=False)
+        dps = max(2048, main_run["n_docs"] // 128)  # ≥4 tasks/core at local[32]
+        lo = run_build_and_queries(8, run_queries=False, want_digest=True,
+                                   docs_per_shard=dps)
+        hi = run_build_and_queries(32, run_queries=False, want_digest=True,
+                                   docs_per_shard=dps)
         eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
         extra = {
             "scaling": {
                 "local8_docs_per_sec": round(lo["docs_per_sec"], 1),
                 "local32_docs_per_sec": round(hi["docs_per_sec"], 1),
                 "efficiency_8_to_32": round(eff, 3),
+                "identical_index": lo["digest"] == hi["digest"],
             }
         }
 

@@ -106,7 +106,7 @@ def test_parallelism_invariance(tmp_path):
         script = _SUBPROC_SCRIPT.format(repo=repo, cpus=cpus, sf=SF_SMOKE, out=out)
         proc = subprocess.run(
             [sys.executable, "-c", script], capture_output=True, text=True,
-            timeout=300, cwd=repo,
+            timeout=540, cwd=repo,
         )
         assert proc.returncode == 0, proc.stderr[-3000:]
         line = [l for l in proc.stdout.splitlines() if l.startswith("FP::")][-1]

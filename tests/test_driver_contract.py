@@ -16,7 +16,7 @@ TABLES = [
 ]
 
 # approximate-by-design operators: driver records rows-only checks
-ROWS_ONLY = {"minhash_band_pairs", "ann_lsh_topk"}
+ROWS_ONLY = {"minhash_band_pairs", "ann_lsh_topk", "embedding_neardup_lsh"}
 
 
 @pytest.fixture(scope="module")

@@ -80,6 +80,41 @@ def test_facet_counts(built, spark):
     assert got == expected
 
 
+def test_pagination_offset(built):
+    """O3: page (offset, k) == slice [offset, offset+k) of the full ranking."""
+    engine, oracle, _ = built
+    by_df = sorted(oracle.df.items(), key=lambda kv: (-kv[1], kv[0]))
+    terms = [t for t, _ in by_df[:2]]  # hot terms -> deep result set
+    full = oracle_search(oracle, terms, k=50)
+    for off in (0, 5, 17):
+        got = [(r["doc_id"], r["score"])
+               for r in engine.search(terms, k=5, offset=off).collect()]
+        expected = full[off:off + 5]
+        assert [d for d, _ in got] == [d for d, _ in expected], off
+        for (_, gs), (_, es) in zip(got, expected):
+            assert abs(gs - es) < 1e-6
+
+
+def test_facet_over_search_results(built, spark):
+    """T11: facet counts over ALL docs matching the query (not one page)."""
+    engine, oracle, _ = built
+    corpus = load_documents_as_corpus(spark, SF_SMOKE)
+    by_df = sorted(oracle.df.items(), key=lambda kv: (-kv[1], kv[0]))
+    terms = [by_df[5][0], by_df[30][0]]
+    matching = {
+        doc_id
+        for doc_id, tfs in zip(oracle.doc_ids, oracle.doc_tfs)
+        if any(t in tfs for t in terms)
+    }
+    expected = {}
+    for r in corpus.select("doc_id", "lang").collect():
+        if r["doc_id"] in matching:
+            expected[r["lang"]] = expected.get(r["lang"], 0) + 1
+    got = {r["lang"]: r["facet_count"]
+           for r in engine.facet_search(terms, "lang").collect()}
+    assert got == expected
+
+
 def test_ingest_invariant_sha256(built, spark):
     """Per-row sha2(content,256) equality source vs doc_map (input_hint)."""
     import hashlib
