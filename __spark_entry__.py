@@ -273,6 +273,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["concat_ws_id"] = q_concat_ws
 
+    def q_nonfiling(spark, sf_dir):
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        t = F.concat(F.lit("The "), F.col("p_name"))
+        title = F.when(F.col("p_partkey") % 3 == 0, t).otherwise(F.col("p_name"))
+        return p.select(
+            "p_partkey", E.nonfiling_offset(title).alias("nonfiling"),
+        )
+    q["nonfiling_sort_offset"] = q_nonfiling
+
+    def q_thumbnail(spark, sf_dir):
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        url = F.concat(
+            F.lit("https://img.example/"),
+            F.regexp_replace("p_name", " ", "-"),
+            F.lit("/full/max/0/default.jpg"),
+        )
+        return p.select(
+            "p_partkey", E.thumbnail_resize(url).alias("thumb_url"),
+        )
+    q["thumbnail_rewrite"] = q_thumbnail
+
+    def q_year_ts(spark, sf_dir):
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return o.select(
+            "o_orderkey",
+            E.year_to_timestamp(F.year("o_orderdate")).alias("published_date"),
+        )
+    q["year_to_timestamp"] = q_year_ts
+
+    def q_shadow_gate(spark, sf_dir):
+        # P4: shadowed rows (status F) emit skeletal projection, visible rows
+        # the enriched one (ASpaceObject.java:256-258)
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        skeletal = F.concat_ws("|", F.col("o_orderkey").cast("string"))
+        enriched = F.concat_ws(
+            "|", F.col("o_orderkey").cast("string"), F.col("o_orderpriority"),
+            F.col("o_custkey").cast("string"),
+        )
+        return o.select(
+            "o_orderkey",
+            E.shadow_gate(F.col("o_orderstatus") == "F", skeletal, enriched)
+            .alias("doc"),
+        )
+    q["shadow_gate_projection"] = q_shadow_gate
+
+    def q_collect_json(spark, sf_dir):
+        s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        return E.collect_json_array(
+            s.select("s_nationkey", "s_name", "s_suppkey"),
+            "s_nationkey", ["s_name", "s_suppkey"],
+        )
+    q["collect_json_array"] = q_collect_json
+
     def q_string_agg(spark, sf_dir):
         c = spark.read.parquet(f"{sf_dir}/customer.parquet")
         return E.string_agg(c, "c_nationkey", "c_name", sep="|")
@@ -553,6 +606,42 @@ SELECT o_orderkey,
                  CAST(o_custkey AS VARCHAR)) AS joined_id
 FROM orders
 """
+    nf_title = ("CASE WHEN p_partkey % 3 = 0 THEN 'The ' || p_name "
+                "ELSE p_name END")
+    o["nonfiling_sort_offset"] = (
+        f"SELECT p_partkey, {E.nonfiling_offset_sql(nf_title)} AS nonfiling "
+        "FROM part"
+    )
+
+    url = ("'https://img.example/' || regexp_replace(p_name, ' ', '-', 'g') "
+           "|| '/full/max/0/default.jpg'")
+    o["thumbnail_rewrite"] = (
+        f"SELECT p_partkey, {E.thumbnail_resize_sql(url)} AS thumb_url FROM part"
+    )
+
+    o["year_to_timestamp"] = (
+        "SELECT o_orderkey, "
+        + E.year_to_timestamp_sql("year(o_orderdate)")
+        + " AS published_date FROM orders"
+    )
+
+    o["shadow_gate_projection"] = """
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'F'
+            THEN concat_ws('|', CAST(o_orderkey AS VARCHAR))
+            ELSE concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderpriority,
+                           CAST(o_custkey AS VARCHAR))
+       END AS doc
+FROM orders
+"""
+
+    o["collect_json_array"] = """
+SELECT s_nationkey,
+       '[' || string_agg(json_object('s_name', s_name, 's_suppkey', s_suppkey)::VARCHAR,
+                         ',' ORDER BY s_name, s_suppkey) || ']' AS json_arr
+FROM supplier GROUP BY s_nationkey
+"""
+
     o["string_agg"] = """
 SELECT c_nationkey, string_agg(c_name, '|' ORDER BY c_name) AS agg_value
 FROM customer GROUP BY c_nationkey

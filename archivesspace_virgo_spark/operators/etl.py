@@ -97,8 +97,82 @@ def coalesce_or_derived(primary: Column, fallback: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# O5 — MARC non-filing-indicator sort prep (ASpaceObject.java:660-665):
+# leading-article offset ('A ' -> 2, 'The ' -> 4, else 0)
+# ---------------------------------------------------------------------------
+
+def nonfiling_offset(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(c.startswith("The "), F.lit(4))
+        .when(c.startswith("A "), F.lit(2))
+        .otherwise(F.lit(0))
+    )
+
+
+def nonfiling_offset_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN starts_with({expr}, 'The ') THEN 4 "
+        f"WHEN starts_with({expr}, 'A ') THEN 2 ELSE 0 END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9 — capture-group regex rewrite (thumbnail resize,
+# ASpaceObject.java:531-540): insert a size spec between /full/ and the rest
+# ---------------------------------------------------------------------------
+
+THUMB_PATTERN = "(https://.*/full/)[^/]*(/.*)"
+
+
+def thumbnail_resize(col: Column | str, size: str = "!115,125") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, THUMB_PATTERN, f"$1{size}$2")
+
+
+def thumbnail_resize_sql(expr: str, size: str = "!115,125") -> str:
+    return rf"regexp_replace({expr}, '{THUMB_PATTERN}', '\1{size}\2')"
+
+
+# ---------------------------------------------------------------------------
+# F15 — year -> ISO timestamp (aspace-solr-v3-to-v4.xsl:67-71):
+# published_date = concat(year, '-01-01T00:00:00Z')
+# ---------------------------------------------------------------------------
+
+def year_to_timestamp(year_col: Column | str) -> Column:
+    y = F.col(year_col) if isinstance(year_col, str) else year_col
+    return F.to_timestamp(F.concat(y.cast("string"), F.lit("-01-01T00:00:00Z")))
+
+
+def year_to_timestamp_sql(year_expr: str) -> str:
+    return (
+        f"strptime(CAST({year_expr} AS VARCHAR) || '-01-01T00:00:00Z', "
+        "'%Y-%m-%dT%H:%M:%SZ')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 — shadow gate on projection (ASpaceObject.java:256-258): shadowed rows
+# emit only skeletal fields; visible rows get the full enrichment block
+# ---------------------------------------------------------------------------
+
+def shadow_gate(shadowed: Column, skeletal: Column, enriched: Column) -> Column:
+    return F.when(shadowed, skeletal).otherwise(enriched)
+
+
+# ---------------------------------------------------------------------------
 # Table-level parity ops
 # ---------------------------------------------------------------------------
+
+def collect_json_array(df: DataFrame, key: str, cols: list[str]) -> DataFrame:
+    """A2 — collect rows into ONE JSON-array-of-objects string per key
+    (containers -> special_collections_holding_display,
+    ASpaceObject.java:377-404).  Order-stable via array_sort on the struct
+    (field-order comparison) so the output is deterministic."""
+    return df.groupBy(key).agg(
+        F.to_json(F.array_sort(F.collect_list(F.struct(*cols)))).alias("json_arr")
+    )
+
 
 def string_agg(df: DataFrame, key: str, value: str, sep: str = "\n") -> DataFrame:
     """A1 — order-stable string aggregation (subnote concat,

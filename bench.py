@@ -87,16 +87,17 @@ def bench_corpus(spark: SparkSession, sf_dir: str, replicate: int):
 
 
 def index_digest(spark, index_dir: str) -> str:
-    """Order-independent content digest of postings+lexicon: sum of per-row
-    xxhash64 over every value-bearing column.  Used to evidence that the
-    local[8] and local[32] builds emit the IDENTICAL index (the determinism
-    leg of the N-vs-4N scaling protocol)."""
+    """Order-independent content digest of postings+lexicon: bit_xor of
+    per-row xxhash64 over every value-bearing column (xor is commutative and
+    cannot overflow under ANSI mode).  Used to evidence that the local[8]
+    and local[32] builds emit the IDENTICAL index (the determinism leg of
+    the N-vs-4N scaling protocol)."""
     from archivesspace_virgo_spark.index.storage import IndexStorage
 
     st = IndexStorage(index_dir)
     p = st.read(spark, "postings")
     h1 = p.select(
-        F.sum(
+        F.bit_xor(
             F.xxhash64(
                 "doc_shard", "term", "n_docs", "cf", "doc_blob", "tf_blob",
                 "dl_blob",
@@ -107,7 +108,7 @@ def index_digest(spark, index_dir: str) -> str:
         ).alias("h")
     ).collect()[0]["h"]
     lx = st.read(spark, "lexicon")
-    h2 = lx.select(F.sum(F.xxhash64("term", "df", "cf")).alias("h")).collect()[0]["h"]
+    h2 = lx.select(F.bit_xor(F.xxhash64("term", "df", "cf")).alias("h")).collect()[0]["h"]
     return f"{h1:x}-{h2:x}"
 
 
