@@ -347,6 +347,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["anti_join_no_orders"] = q_anti
 
+    def q_ancestors(spark, sf_dir):
+        # J2: iterative self-join to fixpoint over a synthetic 4-level tree
+        # (parent = key // 10); oracle is DuckDB's recursive CTE
+        from archivesspace_virgo_spark.operators.hierarchy import transitive_ancestors
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        edges = p.select(
+            F.col("p_partkey").alias("id"),
+            F.when(F.col("p_partkey") >= 10, (F.col("p_partkey") / 10).cast("long"))
+            .alias("parent"),
+        )
+        return transitive_ancestors(edges, "id", "parent")
+    q["hierarchy_ancestors"] = q_ancestors
+
+    def q_subtree(spark, sf_dir):
+        from archivesspace_virgo_spark.operators.hierarchy import subtree_aggregate
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        edges = p.select(
+            F.col("p_partkey").alias("id"),
+            F.when(F.col("p_partkey") >= 10, (F.col("p_partkey") / 10).cast("long"))
+            .alias("parent"),
+        )
+        values = p.select(F.col("p_partkey").alias("id"), F.col("p_size").alias("value"))
+        return subtree_aggregate(edges, values)
+    q["hierarchy_subtree_sum"] = q_subtree
+
+    def q_broadcast_dim(spark, sf_dir):
+        # J1/J5: FK dimension enrichment as an explicit broadcast hash join
+        # (the resolveReference point-lookup pattern, ArchivesSpaceClient.java:62-65)
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        r = spark.read.parquet(f"{sf_dir}/region.parquet")
+        dim = F.broadcast(
+            n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .select(F.col("n_nationkey"), F.col("n_name"), F.col("r_name"))
+        )
+        return (
+            c.join(dim, c["c_nationkey"] == dim["n_nationkey"], "left")
+            .select("c_custkey", "n_name", "r_name")
+        )
+    q["broadcast_dim_join"] = q_broadcast_dim
+
+    def q_topn_per_group(spark, sf_dir):
+        # O2: bounded fan-out guard (<=5 digital objects, ASpaceObject.java:409)
+        from pyspark.sql.window import Window
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        return (
+            o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "rn")
+        )
+    q["topn_per_group"] = q_topn_per_group
+
+    def q_location_norm(spark, sf_dir):
+        # F7: exact-match case map with error fallback (UvaHelper.java:8-20);
+        # fallback rendered as 'UNKNOWN' instead of raise_error so the
+        # operator is total (the reference throws)
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        m = (
+            F.when(F.col("c_mktsegment") == "BUILDING", "Building Dept")
+            .when(F.col("c_mktsegment") == "AUTOMOBILE", "Auto Dept")
+            .when(F.col("c_mktsegment") == "MACHINERY", "Machinery Dept")
+            .when(F.col("c_mktsegment") == "HOUSEHOLD", "Household Dept")
+            .otherwise("UNKNOWN")
+        )
+        return c.select("c_custkey", m.alias("location"))
+    q["location_normalize"] = q_location_norm
+
     def q_union_dirty(spark, sf_dir):
         o = spark.read.parquet(f"{sf_dir}/orders.parquet")
         a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
@@ -654,6 +724,70 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 SELECT c_custkey FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
+    o["hierarchy_ancestors"] = """
+WITH RECURSIVE anc AS (
+  SELECT p_partkey AS id,
+         CAST(p_partkey // 10 AS BIGINT) AS ancestor, 1 AS depth
+  FROM part WHERE p_partkey >= 10
+  UNION ALL
+  SELECT a.id, CAST(p.ancestor AS BIGINT), a.depth + 1
+  FROM anc a
+  JOIN (SELECT p_partkey AS id, CAST(p_partkey // 10 AS BIGINT) AS ancestor
+        FROM part WHERE p_partkey >= 10) p
+    ON a.ancestor = p.id
+)
+SELECT id, ancestor, depth FROM anc
+"""
+
+    o["hierarchy_subtree_sum"] = """
+WITH RECURSIVE anc AS (
+  SELECT p_partkey AS id,
+         CAST(p_partkey // 10 AS BIGINT) AS ancestor, 1 AS depth
+  FROM part WHERE p_partkey >= 10
+  UNION ALL
+  SELECT a.id, CAST(p.ancestor AS BIGINT), a.depth + 1
+  FROM anc a
+  JOIN (SELECT p_partkey AS id, CAST(p_partkey // 10 AS BIGINT) AS ancestor
+        FROM part WHERE p_partkey >= 10) p
+    ON a.ancestor = p.id
+),
+pairs AS (
+  SELECT id AS node, ancestor AS agg_to FROM anc
+  UNION ALL
+  SELECT p_partkey, p_partkey FROM part
+)
+SELECT pr.agg_to AS id, sum(p.p_size) AS subtree_sum
+FROM pairs pr JOIN part p ON pr.node = p.p_partkey
+GROUP BY pr.agg_to
+"""
+
+    o["broadcast_dim_join"] = """
+SELECT c_custkey, n_name, r_name
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+    o["topn_per_group"] = """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+    o["location_normalize"] = """
+SELECT c_custkey,
+       CASE c_mktsegment
+         WHEN 'BUILDING' THEN 'Building Dept'
+         WHEN 'AUTOMOBILE' THEN 'Auto Dept'
+         WHEN 'MACHINERY' THEN 'Machinery Dept'
+         WHEN 'HOUSEHOLD' THEN 'Household Dept'
+         ELSE 'UNKNOWN' END AS location
+FROM customer
+"""
+
     o["union_dirty_keys"] = """
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 UNION

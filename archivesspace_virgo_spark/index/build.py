@@ -1,29 +1,34 @@
 """Distributed inverted-index construction (SURVEY.md §2.8-T2..T5, §7 Phase 1).
 
-Dataflow (all declarative until the one packing UDF):
+Dataflow — ONE shuffle total:
 
     corpus (doc_id, content, ...)                       [parquet/Iceberg scan]
-      → tokens_column per indexed field (JVM split/lower/filter — codegen,
-        no Python); non-default fields prefix their terms "field:token"
-      → doc_stats: (doc_shard, doc_id, field, dl)       [narrow]
-      → posexplode-free tf: explode(tokens) → groupBy(doc_shard, doc_id, dl,
-        term).count()                                   [shuffle 1: partial
-        map-side combine via hash agg]
-      → repartition('doc_shard') + groupBy('doc_shard').applyInPandas(pack)
-                                                        [shuffle 2: co-locate
-        each shard; Arrow batch in, numpy delta-gap+varbyte out]
+      → repartition(n_part, doc_shard), cached          [THE shuffle: raw
+        corpus bytes, 5-10x smaller than the exploded token relation]
+      → doc_map  (identity + sha256)                    [partition-local write]
+      → tokenized: explode of per-field token structs (JVM codegen
+        lower/split/filter; non-default fields prefixed "field:token";
+        Generate preserves the doc_shard partitioning)
+      → doc_stats (doc_shard, doc_id, field, dl)        [partition-local write]
+      → groupBy(doc_shard).applyInPandas(pack): partition-LOCAL sort, no
+        exchange; the kernel does tf aggregation (pandas groupby) + delta-gap
+        + varbyte + block-max in numpy per shard
       → postings parquet partitioned by doc_shard, rows sorted by term so
         parquet rowgroup min/max stats prune term lookups at query time.
 
 Scale notes (the 100 TB story):
-- Shuffle 1 is the unavoidable tf aggregation; map-side combine collapses it
-  to ~unique (doc, term) pairs.  Shuffle 2 moves only aggregated tf rows.
+- Tokens, tf rows and blobs NEVER cross an exchange; the only shuffled bytes
+  are the raw corpus, once.  (An earlier 4-exchange design — tf groupBy +
+  three per-table repartitions — spent more time in shuffle + write commits
+  than in real work and scaled at 0.4; this layout is what made the N-vs-4N
+  efficiency target reachable.)
 - Shards are contiguous doc_id ranges → hot terms ("def", "if") split across
   ALL shards with disjoint doc ranges: skew is bounded by shard size by
   construction (the salting scheme of SURVEY.md §4.2), and exact df is the
   sum of per-shard n_docs.
-- Each shard is one applyInPandas group ≈ one task; docs_per_shard controls
-  task granularity (4096 for tests; millions at cluster scale).
+- Each shard is one applyInPandas group; docs_per_shard controls kernel
+  memory (4096 for tests; millions at cluster scale — size so one shard's
+  tokens fit an Arrow batch comfortably).
 - Resume: shards listed in _lineage for the same input fingerprint are
   skipped; dynamic partition overwrite replaces exactly the rebuilt shards
   (reference checkpoint discipline IndexRecordsForV4.java:116-125).
@@ -51,43 +56,73 @@ from archivesspace_virgo_spark.index.storage import (
 from archivesspace_virgo_spark.tokenizer import tokens_column
 
 
+def _pack_sorted(shard: int, terms, doc_ids, tfs, dls, block_size: int) -> pd.DataFrame:
+    """Encode (term, doc)-sorted posting arrays into one row per term."""
+    uniq, starts = np.unique(terms, return_index=True)
+    bounds = np.append(starts, terms.size)
+    out = {
+        "doc_shard": [], "term": [], "n_docs": [], "cf": [],
+        "doc_blob": [], "tf_blob": [], "dl_blob": [],
+        "block_last_doc": [], "block_max_tf": [], "block_min_dl": [],
+    }
+    for i, term in enumerate(uniq):
+        s, e = bounds[i], bounds[i + 1]
+        d_blob, t_blob, l_blob, b_last, b_maxtf, b_mindl = codec.encode_postings(
+            doc_ids[s:e], tfs[s:e], dls[s:e], block_size
+        )
+        out["doc_shard"].append(shard)
+        out["term"].append(str(term))
+        out["n_docs"].append(int(e - s))
+        out["cf"].append(int(tfs[s:e].sum()))
+        out["doc_blob"].append(d_blob)
+        out["tf_blob"].append(t_blob)
+        out["dl_blob"].append(l_blob)
+        out["block_last_doc"].append(b_last.tolist())
+        out["block_max_tf"].append(b_maxtf.tolist())
+        out["block_min_dl"].append(b_mindl.tolist())
+    return pd.DataFrame(out)
+
+
 def _make_packer(block_size: int):
-    """Grouped-map packer: one call per doc_shard, loops terms in numpy."""
+    """Grouped-map packer over the TOKENIZED relation: one call per
+    doc_shard with rows (doc_shard, doc_id, field, toks).
+
+    tf aggregation happens HERE (pandas C-speed groupby inside the Arrow
+    batch) instead of in a Spark groupBy: tokens never cross a shuffle —
+    the only exchange in the whole build is the one corpus repartition by
+    doc_shard (raw bytes, 5-10x smaller than the exploded token relation).
+    dl is the per-(doc, field) token count; a term determines its field
+    (non-default fields are prefix-stored), so each (term, doc) pair has
+    exactly one dl.
+    """
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
         if pdf.empty:
-            return pd.DataFrame(
-                columns=[f.name for f in POSTINGS_SCHEMA.fields]
-            )
+            return empty
         shard = int(pdf["doc_shard"].iloc[0])
-        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-        terms = pdf["term"].to_numpy()
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        uniq, starts = np.unique(terms, return_index=True)
-        bounds = np.append(starts, terms.size)
-        out = {
-            "doc_shard": [], "term": [], "n_docs": [], "cf": [],
-            "doc_blob": [], "tf_blob": [], "dl_blob": [],
-            "block_last_doc": [], "block_max_tf": [], "block_min_dl": [],
-        }
-        for i, term in enumerate(uniq):
-            s, e = bounds[i], bounds[i + 1]
-            d_blob, t_blob, l_blob, b_last, b_maxtf, b_mindl = codec.encode_postings(
-                doc_ids[s:e], tfs[s:e], dls[s:e], block_size
-            )
-            out["doc_shard"].append(shard)
-            out["term"].append(str(term))
-            out["n_docs"].append(int(e - s))
-            out["cf"].append(int(tfs[s:e].sum()))
-            out["doc_blob"].append(d_blob)
-            out["tf_blob"].append(t_blob)
-            out["dl_blob"].append(l_blob)
-            out["block_last_doc"].append(b_last.tolist())
-            out["block_max_tf"].append(b_maxtf.tolist())
-            out["block_min_dl"].append(b_mindl.tolist())
-        return pd.DataFrame(out)
+        lens = pdf["toks"].map(len).to_numpy(dtype=np.int64)
+        if int(lens.sum()) == 0:
+            return empty
+        doc_rep = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
+        dl_rep = np.repeat(lens, lens)
+        terms_flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in pdf["toks"] if len(t)]
+        )
+        tf = (
+            pd.DataFrame({"term": terms_flat, "doc_id": doc_rep, "dl": dl_rep})
+            .groupby(["term", "doc_id"], sort=True)
+            .agg(tf=("dl", "size"), dl=("dl", "first"))
+            .reset_index()
+        )
+        return _pack_sorted(
+            shard,
+            tf["term"].to_numpy(),
+            tf["doc_id"].to_numpy(dtype=np.int64),
+            tf["tf"].to_numpy(dtype=np.int64),
+            tf["dl"].to_numpy(dtype=np.int64),
+            block_size,
+        )
 
     return pack
 
@@ -95,52 +130,69 @@ def _make_packer(block_size: int):
 def tokenized(corpus: DataFrame, config: IndexConfig) -> DataFrame:
     """(doc_shard, doc_id, field, toks) — the analyzed relation (JVM-side).
 
-    One row per (doc, indexed field); union of per-field narrow projections
-    (no shuffle — unions of maps stay maps).  Missing columns raise early.
+    One row per (doc, indexed field), produced by explode of a per-field
+    struct array rather than a union: Generate preserves the child's output
+    partitioning on ``doc_shard``, so a downstream groupBy(doc_shard) needs
+    only a partition-local sort — no shuffle (a union would erase the
+    partitioning info and force one).  Non-default-field tokens are prefixed
+    "field:token" here, inside codegen.  Missing columns raise early.
     """
     missing = [f for f in config.fields if f not in corpus.columns]
     if missing:
         raise ValueError(f"corpus lacks indexed field column(s) {missing}")
-    shard = (F.col("doc_id") / F.lit(config.docs_per_shard)).cast("int")
-    parts = [
-        corpus.select(
-            shard.alias("doc_shard"),
-            "doc_id",
-            F.lit(f).alias("field"),
-            tokens_column(f).alias("toks"),
+    default = config.fields[0]
+
+    def toks_of(f: str):
+        toks = tokens_column(f)
+        if f == default:
+            return toks
+        return F.transform(toks, lambda t: F.concat(F.lit(f + ":"), t))
+
+    if "doc_shard" in corpus.columns:
+        # keep the existing attribute (an alias would mint a new attribute id
+        # and break output-partitioning propagation past the projection)
+        shard_col = "doc_shard"
+    else:
+        corpus = corpus.withColumn(
+            "doc_shard",
+            (F.col("doc_id") / F.lit(config.docs_per_shard)).cast("int"),
         )
-        for f in config.fields
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        shard_col = "doc_shard"
+    per_field = F.array(
+        *[
+            F.struct(F.lit(f).alias("field"), toks_of(f).alias("toks"))
+            for f in config.fields
+        ]
+    )
+    return corpus.select(
+        shard_col,
+        "doc_id",
+        F.explode(per_field).alias("_ft"),
+    ).select(
+        "doc_shard",
+        "doc_id",
+        F.col("_ft.field").alias("field"),
+        F.col("_ft.toks").alias("toks"),
+    )
 
 
 def term_frequencies(toks: DataFrame, config: IndexConfig) -> DataFrame:
-    """(doc_shard, doc_id, dl, term, tf) — the pre-packing long relation.
+    """(doc_shard, doc_id, dl, term, tf) — the declarative tf relation.
 
-    dl is the PER-FIELD token count, carried through the explode as a
-    grouping key (functionally dependent on (doc_id, field)) so no join with
-    doc_stats is ever needed.  Non-default-field terms are stored prefixed
-    ("field:token"), which makes (field, term) a single composite key — a
-    term determines its field, so after prefixing the field column drops
-    out.  Empty fields vanish here (explode of []) but stay in doc_stats.
+    Retained as the pure-DataFrame rendering (tests / ad-hoc analysis); the
+    build path computes the same aggregation inside the pack kernel so
+    tokens never shuffle.  Tokens arrive from ``tokenized`` already
+    field-prefixed; dl is the per-(doc, field) token count, carried through
+    the explode as a grouping key (a term determines its field, so each
+    (term, doc) pair has exactly one dl).
     """
-    default = config.fields[0]
-    tok = F.col("tok")
-    stored = F.when(F.col("field") == default, tok).otherwise(
-        F.concat(F.col("field"), F.lit(":"), tok)
-    )
     return (
         toks.select(
             "doc_shard",
             "doc_id",
-            "field",
             F.size("toks").alias("dl"),
-            F.explode("toks").alias("tok"),
+            F.explode("toks").alias("term"),
         )
-        .select("doc_shard", "doc_id", "dl", stored.alias("term"))
         .groupBy("doc_shard", "doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -209,10 +261,13 @@ def build_index(
     if only_shards is not None:
         corpus = corpus.filter(F.col("doc_shard").isin(list(only_shards)))
 
-    corpus = corpus.cache()  # reused by doc_map, stats and postings passes
-    n_docs_built = corpus.count()
+    # one pass over the source to size the job (column-pruned scan)
+    sizing = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_shard").alias("n_shards"),
+    ).collect()[0]
+    n_docs_built, n_shards = int(sizing["n"]), int(sizing["n_shards"])
     if n_docs_built == 0:
-        corpus.unpersist()
         # nothing to build, but a deletion-only update still needs fresh
         # global aggregates over the surviving shards
         if os.path.exists(storage.path("postings")):
@@ -220,29 +275,34 @@ def build_index(
             storage.write_commit(config, build_id, {"input_fingerprint": fingerprint})
         return {"build_id": build_id, "n_docs": 0, "shards": [], "elapsed_sec": 0.0}
 
+    # --- THE one shuffle of the build: repartition raw corpus bytes by
+    # doc_shard.  Everything downstream (doc_map, doc_stats, postings) is
+    # partition-local: tokens, tf rows and blobs never cross an exchange.
+    # Explicit partition count (AQE never coalesces a user-specified
+    # repartition) so the partitioned writes keep enough writers — one task
+    # per shard up to ~4 tasks/core, multiple shards per task beyond that.
+    n_part = max(1, min(n_shards, spark.sparkContext.defaultParallelism * 4))
+    layout = corpus.repartition(n_part, "doc_shard").cache()
+
     # --- doc_map (identity + ingest invariant; facet columns live here) ---
     meta_cols = [c for c in ["repo", "path", "commit", "lang"] if c in corpus.columns]
-    doc_map = corpus.select("doc_shard", "doc_id", *meta_cols, "content_sha256")
-    storage.write(doc_map.repartition("doc_shard"), "doc_map", partition_shards=True)
+    doc_map = layout.select("doc_shard", "doc_id", *meta_cols, "content_sha256")
+    storage.write(doc_map, "doc_map", partition_shards=True)
 
-    # --- tf relation + doc stats (doc_stats BEFORE explode so dl=0 docs
+    # --- per-(doc, field) stats (BEFORE the in-kernel explode so dl=0 docs
     # still count toward N / avgdl, matching the oracle) ---
-    toks = tokenized(corpus, config)
+    toks = tokenized(layout, config)
     doc_stats = toks.select(
         "doc_shard", "doc_id", "field", F.size("toks").alias("dl")
     )
-    storage.write(
-        doc_stats.repartition("doc_shard"), "doc_stats", partition_shards=True
-    )
-    tf = term_frequencies(toks, config)
+    storage.write(doc_stats, "doc_stats", partition_shards=True)
 
-    # --- pack postings per shard ---
-    packed = (
-        tf.repartition("doc_shard")
-        .groupBy("doc_shard")
-        .applyInPandas(_make_packer(config.block_size), schema=POSTINGS_SCHEMA)
+    # --- pack postings per shard (tf aggregation inside the kernel) ---
+    packed = toks.groupBy("doc_shard").applyInPandas(
+        _make_packer(config.block_size), schema=POSTINGS_SCHEMA
     )
     storage.write(packed, "postings", partition_shards=True)
+    corpus = layout  # built_shards query below reuses the cached layout
 
     # --- global aggregates (tiny: one row per term / one row total) ---
     postings = refresh_aggregates(spark, storage)
