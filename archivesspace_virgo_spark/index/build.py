@@ -45,6 +45,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from archivesspace_virgo_spark import codec
 from archivesspace_virgo_spark.config import IndexConfig
@@ -83,34 +84,54 @@ def _pack_sorted(shard: int, terms, doc_ids, tfs, dls, block_size: int) -> pd.Da
     return pd.DataFrame(out)
 
 
-def _make_packer(block_size: int):
-    """Grouped-map packer over the TOKENIZED relation: one call per
-    doc_shard with rows (doc_shard, doc_id, field, toks).
+def _make_packer(block_size: int, fields: tuple = ("content",)):
+    """Grouped-map packer over RAW FIELD TEXT: one call per doc_shard with
+    rows (doc_shard, doc_id, <field columns...>).
 
-    tf aggregation happens HERE (pandas C-speed groupby inside the Arrow
-    batch) instead of in a Spark groupBy: tokens never cross a shuffle —
-    the only exchange in the whole build is the one corpus repartition by
-    doc_shard (raw bytes, 5-10x smaller than the exploded token relation).
-    dl is the per-(doc, field) token count; a term determines its field
-    (non-default fields are prefix-stored), so each (term, doc) pair has
-    exactly one dl.
+    Tokenization AND tf aggregation happen here, inside the Python worker:
+    - Arrow ships raw content bytes (5-10x smaller than an exploded token
+      relation), and tokens never exist JVM-side at all.  A JVM
+      `split(lower(...))` materializes one UTF8String per token — at
+      realistic file sizes that allocation storm hits a GC wall that stops
+      scaling past ~8 threads in one JVM, while Python workers are separate
+      processes that tokenize embarrassingly parallel.
+    - the tokenizer is the literal shared `tokenize_series` (oracle parity
+      by construction, SURVEY §2.8-T1).
+    dl is the per-(doc, field) token count; non-default fields are stored
+    prefix-composite ("field:token"), so each (term, doc) has exactly one dl.
     """
+    from archivesspace_virgo_spark.tokenizer import tokenize_series
+
+    default = fields[0]
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
         if pdf.empty:
             return empty
         shard = int(pdf["doc_shard"].iloc[0])
-        lens = pdf["toks"].map(len).to_numpy(dtype=np.int64)
-        if int(lens.sum()) == 0:
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        doc_parts, dl_parts, term_parts = [], [], []
+        for f in fields:
+            toks = tokenize_series(pdf[f])
+            if f != default:
+                prefix = f + ":"
+                toks = toks.map(lambda ts: [prefix + t for t in ts])
+            lens = toks.map(len).to_numpy(dtype=np.int64)
+            if int(lens.sum()) == 0:
+                continue
+            doc_parts.append(np.repeat(doc_ids, lens))
+            dl_parts.append(np.repeat(lens, lens))
+            term_parts.append(
+                np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+            )
+        if not term_parts:
             return empty
-        doc_rep = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
-        dl_rep = np.repeat(lens, lens)
-        terms_flat = np.concatenate(
-            [np.asarray(t, dtype=object) for t in pdf["toks"] if len(t)]
-        )
         tf = (
-            pd.DataFrame({"term": terms_flat, "doc_id": doc_rep, "dl": dl_rep})
+            pd.DataFrame({
+                "term": np.concatenate(term_parts),
+                "doc_id": np.concatenate(doc_parts),
+                "dl": np.concatenate(dl_parts),
+            })
             .groupby(["term", "doc_id"], sort=True)
             .agg(tf=("dl", "size"), dl=("dl", "first"))
             .reset_index()
@@ -221,6 +242,45 @@ def refresh_aggregates(spark: SparkSession, storage: IndexStorage) -> DataFrame:
     return postings
 
 
+def quarantine_invalid(
+    corpus: DataFrame, storage: IndexStorage, build_id: str
+) -> DataFrame:
+    """Fail-soft row-level error isolation (reference: per-record try/catch
+    with run-level error reporting, IndexRecords.java:97-101, 110-115).
+
+    Rows that cannot be indexed — null/negative doc_id, null content, or a
+    duplicate doc_id (identity violation) — are appended to the ``_errors``
+    table with a reason instead of failing the build; the caller can assert
+    on the table afterwards (the reference exits nonzero if any errors).
+    Returns the clean corpus.
+    """
+    reason = (
+        F.when(F.col("doc_id").isNull(), "null_doc_id")
+        .when(F.col("doc_id") < 0, "negative_doc_id")
+        .when(F.col("content").isNull(), "null_content")
+        .when(F.count(F.lit(1)).over(Window.partitionBy("doc_id")) > 1,
+              "duplicate_doc_id")
+    )
+    flagged = corpus.withColumn("_reason", reason)
+    bad = flagged.filter(F.col("_reason").isNotNull())
+    if not bad.isEmpty():
+        path_col = (
+            F.col("path") if "path" in corpus.columns
+            else F.lit(None).cast("string")
+        )
+        storage.append(
+            bad.select(
+                F.lit(build_id).alias("build_id"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                path_col.alias("path"),
+                F.col("_reason").alias("reason"),
+                F.lit(time.time()).alias("ts"),
+            ),
+            "_errors",
+        )
+    return flagged.filter(F.col("_reason").isNull()).drop("_reason")
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -230,6 +290,7 @@ def build_index(
     input_fingerprint: Optional[str] = None,
     resume: bool = False,
     only_shards: Optional[Iterable[int]] = None,
+    validate: bool = False,
 ) -> dict:
     """Full (or shard-scoped) index build.
 
@@ -244,8 +305,15 @@ def build_index(
     storage = IndexStorage(index_dir)
     t0 = time.time()
 
+    missing = [f for f in config.fields if f not in corpus.columns]
+    if missing:
+        raise ValueError(f"corpus lacks indexed field column(s) {missing}")
     if "doc_id" not in corpus.columns:
         corpus = assign_doc_ids(corpus)
+    if validate:
+        # opt-in: the duplicate-id window adds a shuffle, so validation is an
+        # ingest-boundary step, not part of the steady-state rebuild path
+        corpus = quarantine_invalid(corpus, storage, build_id)
     if "content_sha256" not in corpus.columns:
         corpus = with_content_sha(corpus)
 
@@ -289,17 +357,34 @@ def build_index(
     doc_map = layout.select("doc_shard", "doc_id", *meta_cols, "content_sha256")
     storage.write(doc_map, "doc_map", partition_shards=True)
 
-    # --- per-(doc, field) stats (BEFORE the in-kernel explode so dl=0 docs
-    # still count toward N / avgdl, matching the oracle) ---
-    toks = tokenized(layout, config)
-    doc_stats = toks.select(
-        "doc_shard", "doc_id", "field", F.size("toks").alias("dl")
+    # --- per-(doc, field) stats.  dl via regexp_count: counts token runs
+    # WITHOUT materializing a token array (a JVM split would allocate one
+    # UTF8String per token — GC-bound, stops scaling past ~8 threads).
+    # Equivalence with len(tokenize_text(x)) is pinned by a tokenizer test.
+    # dl=0 docs appear here (not in postings) so N/avgdl match the oracle.
+    per_field_dl = F.array(
+        *[
+            F.struct(
+                F.lit(f).alias("field"),
+                F.regexp_count(F.lower(F.col(f)), F.lit("[a-z0-9]+"))
+                .cast("long").alias("dl"),
+            )
+            for f in config.fields
+        ]
+    )
+    doc_stats = layout.select(
+        "doc_shard", "doc_id", F.explode(per_field_dl).alias("_fd")
+    ).select(
+        "doc_shard", "doc_id",
+        F.col("_fd.field").alias("field"), F.col("_fd.dl").alias("dl"),
     )
     storage.write(doc_stats, "doc_stats", partition_shards=True)
 
-    # --- pack postings per shard (tf aggregation inside the kernel) ---
-    packed = toks.groupBy("doc_shard").applyInPandas(
-        _make_packer(config.block_size), schema=POSTINGS_SCHEMA
+    # --- pack postings per shard (tokenize + tf + encode in the kernel) ---
+    packed = layout.select(
+        "doc_shard", "doc_id", *config.fields
+    ).groupBy("doc_shard").applyInPandas(
+        _make_packer(config.block_size, config.fields), schema=POSTINGS_SCHEMA
     )
     storage.write(packed, "postings", partition_shards=True)
     corpus = layout  # built_shards query below reuses the cached layout

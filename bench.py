@@ -67,16 +67,35 @@ def make_session(cpus: int) -> SparkSession:
     )
 
 
-def bench_corpus(spark: SparkSession, sf_dir: str, replicate: int):
+def bench_corpus(spark: SparkSession, sf_dir: str, replicate: int,
+                 doc_repeat: int = 1):
+    """Deterministic corpus expansion: ``replicate`` copies along the doc
+    axis (distinct doc_ids, token-varied), ``doc_repeat`` copies along the
+    LENGTH axis (the driver's synthetic docs are ~1 KB; real source files
+    average ~10 KB, so doc_repeat≈8 makes per-doc tokenize/pack cost
+    realistic relative to fixed metadata I/O)."""
     from archivesspace_virgo_spark.corpus import load_documents_as_corpus
 
     base = load_documents_as_corpus(spark, sf_dir)
+    if doc_repeat > 1:
+        base = base.withColumn(
+            "content", F.repeat(F.concat(F.col("content"), F.lit(" ")), doc_repeat)
+        )
     n = base.count()
     if replicate <= 1:
         return base, n
-    reps = spark.range(replicate).select(F.col("id").alias("rep"))
+    # parallelize over the REPLICA axis with the base broadcast: the source
+    # parquet is one file -> one input split, and a crossJoin streaming that
+    # single partition would run the whole expansion + sha256 map phase on
+    # ONE task no matter how many cores the session has (this was flattening
+    # the N-vs-4N scaling curve)
+    reps = (
+        spark.range(replicate)
+        .repartition(replicate)
+        .select(F.col("id").alias("rep"))
+    )
     corpus = (
-        base.crossJoin(reps)
+        reps.join(F.broadcast(base))
         .select(
             (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
             "repo",
@@ -179,32 +198,38 @@ def main():
     if SCALING:
         # N-vs-4N protocol (sandbox stand-in for two cluster sizes): the
         # IDENTICAL job (same corpus, same docs_per_shard -> same shards and
-        # output bytes) at local[8] and local[32].  A bigger corpus than the
-        # main run amortizes fixed costs (JVM scheduling, parquet commit) the
-        # way a real 10^12-file build would; ~100+ shard tasks keep both
-        # levels fully subscribed.  Best-of-2 per level removes JIT ordering
-        # bias; local[32] runs first so warm-up favors the SLOW side.
-        rep = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "40"))
-        n_exp = main_run["n_docs"] // REPLICATE * rep
-        dps = max(1024, n_exp // 128)
-        best = {8: None, 32: None}
-        digests = {}
-        for cpus in (32, 8, 32, 8):
-            r = run_build_and_queries(cpus, run_queries=False,
-                                      want_digest=cpus not in digests,
-                                      docs_per_shard=dps, replicate=rep)
-            if "digest" in r:
-                digests[cpus] = r["digest"]
-            if best[cpus] is None or r["docs_per_sec"] > best[cpus]:
-                best[cpus] = r["docs_per_sec"]
-        eff = (best[32] / best[8]) / 4.0
+        # output bytes) at local[8] and local[32].  Each measurement runs in
+        # a FRESH subprocess with an in-process warm-up build first, so JIT
+        # state is equal at both levels (in-process back-to-back sessions
+        # hand the later run a fully-warmed JVM and invert the comparison).
+        # Levels N and 4N: default 4 vs 16.  This sandbox develops a kernel-
+        # time pathology above ~16 threads in one JVM (~90% sys CPU, java
+        # burning syscalls; local[32] measures SLOWER than local[8] on the
+        # identical job), so 8-vs-32 measures the sandbox, not the engine.
+        import subprocess
+        import sys as _sys
+
+        n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+        levels = (n_low * 4, n_low)
+        results = {}
+        for cpus in levels:
+            proc = subprocess.run(
+                [_sys.executable, os.path.abspath(__file__),
+                 "--scale-child", str(cpus)],
+                capture_output=True, text=True, timeout=3000,
+            )
+            line = [ln for ln in proc.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        lo, hi = results[levels[1]], results[levels[0]]
+        eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
         extra = {
             "scaling": {
-                "n_docs": n_exp,
-                "local8_docs_per_sec": round(best[8], 1),
-                "local32_docs_per_sec": round(best[32], 1),
-                "efficiency_8_to_32": round(eff, 3),
-                "identical_index": digests[8] == digests[32],
+                "n_docs": hi["n_docs"],
+                f"local{levels[1]}_docs_per_sec": round(lo["docs_per_sec"], 1),
+                f"local{levels[0]}_docs_per_sec": round(hi["docs_per_sec"], 1),
+                f"efficiency_{levels[1]}_to_{levels[0]}": round(eff, 3),
+                "identical_index": lo["digest"] == hi["digest"],
             }
         }
 
@@ -222,5 +247,39 @@ def main():
     print(json.dumps(result))
 
 
+def scale_child(cpus: int) -> None:
+    """One scaling measurement: warm-up build (JIT-compiles the whole path),
+    then the timed build of the scaling corpus.  Prints one JSON line."""
+    from archivesspace_virgo_spark.config import IndexConfig
+    from archivesspace_virgo_spark.index.build import build_index
+
+    rep = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "400"))
+    doc_repeat = int(os.environ.get("SPARK_GRAFT_DOC_REPEAT", "4"))
+    spark = make_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        warm, _ = bench_corpus(spark, SF_DIR, 2, doc_repeat)
+        build_index(spark, warm, tempfile.mkdtemp(prefix="avs_warm_"),
+                    IndexConfig(docs_per_shard=2048))
+        corpus, n = bench_corpus(spark, SF_DIR, rep, doc_repeat)
+        cfg = IndexConfig(docs_per_shard=max(1024, n // 128))
+        index_dir = tempfile.mkdtemp(prefix=f"avs_scale_{cpus}_")
+        t0 = time.time()
+        build_index(spark, corpus, index_dir, cfg)
+        dt = time.time() - t0
+        print(json.dumps({
+            "cpus": cpus, "n_docs": n, "build_sec": round(dt, 2),
+            "docs_per_sec": n / dt,
+            "digest": index_digest(spark, index_dir),
+        }))
+    finally:
+        spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if len(_sys.argv) >= 3 and _sys.argv[1] == "--scale-child":
+        scale_child(int(_sys.argv[2]))
+    else:
+        main()

@@ -1,0 +1,85 @@
+"""Physical-plan regression guards (SURVEY.md §4: the scale story is a
+property of the PLAN, not just the results).
+
+These tests pin the two load-bearing plan shapes:
+- the index build moves data through EXACTLY ONE exchange (the corpus
+  repartition by doc_shard) — tokens/tf/blobs must never shuffle;
+- the query's shard-scoring fragment is exchange-free up to the final
+  top-k merge (one exchange to the single result partition).
+A regression that silently reintroduces a shuffle (e.g. a union that drops
+partitioning info, an alias that mints a new attribute id) fails here long
+before it shows up as a 100 TB bottleneck.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from archivesspace_virgo_spark.config import IndexConfig
+from archivesspace_virgo_spark.corpus import load_documents_as_corpus, with_content_sha
+from archivesspace_virgo_spark.index.build import _make_packer, tokenized
+from archivesspace_virgo_spark.index.storage import POSTINGS_SCHEMA
+
+from tests.conftest import SF_SMOKE
+
+CFG = IndexConfig(docs_per_shard=64, block_size=16)
+
+
+def _exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange")
+
+
+def _build_fragments(spark, cfg):
+    corpus = with_content_sha(load_documents_as_corpus(spark, SF_SMOKE))
+    corpus = corpus.withColumn(
+        "doc_shard", (F.col("doc_id") / F.lit(cfg.docs_per_shard)).cast("int")
+    )
+    layout = corpus.repartition(8, "doc_shard")
+    packed = layout.select(
+        "doc_shard", "doc_id", *cfg.fields
+    ).groupBy("doc_shard").applyInPandas(
+        _make_packer(cfg.block_size, cfg.fields), schema=POSTINGS_SCHEMA
+    )
+    stats = tokenized(layout, cfg).select(
+        "doc_shard", "doc_id", "field", F.size("toks").alias("dl")
+    )
+    return packed, stats
+
+
+def test_build_pipeline_single_exchange(spark):
+    packed, stats = _build_fragments(spark, CFG)
+    n = _exchanges(packed)
+    assert n == 1, (
+        f"build plan has {n} exchanges, expected exactly 1 (the corpus "
+        "repartition); something downstream reshuffles:\n"
+        + packed._jdf.queryExecution().executedPlan().toString()[:4000]
+    )
+    # doc_stats off the same layout must also be exchange-free beyond the one
+    assert _exchanges(stats) == 1
+
+
+def test_multifield_build_single_exchange(spark):
+    cfg = IndexConfig(docs_per_shard=64, block_size=16,
+                      fields=("content", "path", "lang"))
+    packed, stats = _build_fragments(spark, cfg)
+    assert _exchanges(packed) == 1
+    assert _exchanges(stats) == 1
+
+
+def test_query_partials_exchange_free(spark, tmp_path):
+    """Shard scoring runs where the postings live; only ≤k-row partials
+    cross the wire to the final TakeOrdered merge."""
+    from archivesspace_virgo_spark.index.build import build_index
+    from archivesspace_virgo_spark.index.query import QueryEngine
+
+    d = str(tmp_path / "idx")
+    corpus = load_documents_as_corpus(spark, SF_SMOKE)
+    build_index(spark, corpus, d, CFG)
+    engine = QueryEngine(spark, d, CFG)
+    res = engine.search(["table", "join"], k=10)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange")
+    # grouping postings by doc_shard needs one exchange over the ≤|terms|
+    # rows per shard; TakeOrderedAndProject merges partials without another
+    assert n <= 1, plan[:4000]
+    assert "TakeOrderedAndProject" in plan

@@ -73,3 +73,30 @@ def test_duckdb_property_parity(s):
 def test_series_form():
     s = pd.Series(["a_b", None, ""])
     assert tokenize_series(s).tolist() == [["a", "b"], [], []]
+
+
+def test_regexp_count_dl_equivalence(spark):
+    """The build computes doc length as regexp_count(lower(x), '[a-z0-9]+')
+    (allocation-free) instead of size(split(...)); it must equal
+    len(tokenize_text(x)) on every input — avgdl feeds BM25 directly."""
+    rows = [(i, c) for i, c in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "i int, content string")
+    got = {
+        r["i"]: r["dl"]
+        for r in df.select(
+            "i",
+            F.regexp_count(F.lower(F.col("content")), F.lit("[a-z0-9]+"))
+            .alias("dl"),
+        ).collect()
+    }
+    for i, c in enumerate(CASES):
+        assert got[i] == len(tokenize_text(c)), f"case {i}: {c!r}"
+    # and on the real corpus: regexp_count == size(tokens_column) for all docs
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    diff = docs.select(
+        (
+            F.regexp_count(F.lower(F.col("text")), F.lit("[a-z0-9]+"))
+            != F.size(tokens_column("text"))
+        ).alias("ne")
+    ).filter(F.col("ne")).count()
+    assert diff == 0
