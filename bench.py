@@ -49,9 +49,15 @@ QUERY_SUITE = [
 K = 10
 
 
+_LOCAL_DIR = None  # set by scale_child to a tmpfs path
+
+
 def make_session(cpus: int) -> SparkSession:
+    b = SparkSession.builder
+    if _LOCAL_DIR:
+        b = b.config("spark.local.dir", _LOCAL_DIR)
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        b.master(f"local[{cpus}]")
         .appName("avs-bench")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
@@ -61,8 +67,14 @@ def make_session(cpus: int) -> SparkSession:
         # task-side file commit (v2): removes the driver-sequential rename
         # pass that dominates many-partition-dir writes
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # zstd everywhere: 2-3x fewer bytes through the single shared sandbox
+        # disk for a little well-parallelized CPU — same call a real
+        # deployment makes for object-store-bound index writes
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .getOrCreate()
     )
 
@@ -249,18 +261,35 @@ def main():
 
 def scale_child(cpus: int) -> None:
     """One scaling measurement: warm-up build (JIT-compiles the whole path),
-    then the timed build of the scaling corpus.  Prints one JSON line."""
+    then the timed build of the scaling corpus.  Prints one JSON line.
+
+    Shuffle spill + index output go to tmpfs when available: the sandbox
+    disk is a single shared ~600 MB/s device whose serial bandwidth would
+    otherwise dominate the measurement; a real cluster shuffles to per-node
+    NVMe and writes through parallel object-store connections, which tmpfs
+    models far better at this scale."""
     from archivesspace_virgo_spark.config import IndexConfig
     from archivesspace_virgo_spark.index.build import build_index
 
     rep = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "400"))
     doc_repeat = int(os.environ.get("SPARK_GRAFT_DOC_REPEAT", "4"))
+    # opt-in only: on this sandbox the JVM heap + cached corpus + tmpfs
+    # contents together exceed RAM and trigger reclaim thrash, measuring
+    # SLOWER than the 600 MB/s disk — keep spill on disk by default
+    if os.environ.get("SPARK_GRAFT_SHM") == "1" and os.path.isdir("/dev/shm"):
+        shm = tempfile.mkdtemp(prefix="avs_scale_", dir="/dev/shm")
+        tempfile.tempdir = shm  # index dirs land on tmpfs too
+        global _LOCAL_DIR
+        _LOCAL_DIR = os.path.join(shm, "spark-local")
     spark = make_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     try:
+        import shutil as _sh
+
         warm, _ = bench_corpus(spark, SF_DIR, 2, doc_repeat)
-        build_index(spark, warm, tempfile.mkdtemp(prefix="avs_warm_"),
-                    IndexConfig(docs_per_shard=2048))
+        warm_dir = tempfile.mkdtemp(prefix="avs_warm_")
+        build_index(spark, warm, warm_dir, IndexConfig(docs_per_shard=2048))
+        _sh.rmtree(warm_dir, ignore_errors=True)
         corpus, n = bench_corpus(spark, SF_DIR, rep, doc_repeat)
         cfg = IndexConfig(docs_per_shard=max(1024, n // 128))
         index_dir = tempfile.mkdtemp(prefix=f"avs_scale_{cpus}_")
@@ -274,6 +303,10 @@ def scale_child(cpus: int) -> None:
         }))
     finally:
         spark.stop()
+        if _LOCAL_DIR:
+            import shutil
+
+            shutil.rmtree(os.path.dirname(_LOCAL_DIR), ignore_errors=True)
 
 
 if __name__ == "__main__":
