@@ -565,7 +565,7 @@ GROUP BY term
 """
 
     o["corpus_stats"] = f"""
-SELECT count(*) AS n_docs, sum(dl) AS total_tokens,
+SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens,
        {micro('avg(dl)')} AS avgdl_micro
 FROM (SELECT len({_TOKS}) AS dl FROM documents)
 """
@@ -643,7 +643,7 @@ packed AS (
   SELECT _id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
   FROM bits GROUP BY _id
 )
-SELECT d.doc_id, coalesce(p.simhash, 0) AS simhash
+SELECT d.doc_id, CAST(coalesce(p.simhash, 0) AS BIGINT) AS simhash
 FROM documents d JOIN packed p ON d.doc_id = p._id
 """
 
@@ -756,7 +756,7 @@ pairs AS (
   UNION ALL
   SELECT p_partkey, p_partkey FROM part
 )
-SELECT pr.agg_to AS id, sum(p.p_size) AS subtree_sum
+SELECT pr.agg_to AS id, CAST(sum(p.p_size) AS BIGINT) AS subtree_sum
 FROM pairs pr JOIN part p ON pr.node = p.p_partkey
 GROUP BY pr.agg_to
 """

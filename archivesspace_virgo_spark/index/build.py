@@ -243,23 +243,27 @@ def refresh_aggregates(spark: SparkSession, storage: IndexStorage) -> DataFrame:
 
 
 def quarantine_invalid(
-    corpus: DataFrame, storage: IndexStorage, build_id: str
+    corpus: DataFrame, storage: IndexStorage, build_id: str,
+    config: Optional[IndexConfig] = None,
 ) -> DataFrame:
     """Fail-soft row-level error isolation (reference: per-record try/catch
     with run-level error reporting, IndexRecords.java:97-101, 110-115).
 
-    Rows that cannot be indexed — null/negative doc_id, null content, or a
-    duplicate doc_id (identity violation) — are appended to the ``_errors``
-    table with a reason instead of failing the build; the caller can assert
-    on the table afterwards (the reference exits nonzero if any errors).
-    Returns the clean corpus.
+    Rows that cannot be indexed — null/negative doc_id, a null value in any
+    indexed field, or a duplicate doc_id (identity violation) — are appended
+    to the ``_errors`` table with a reason instead of failing the build; the
+    caller can assert on the table afterwards (the reference exits nonzero
+    if any errors).  Returns the clean corpus.
     """
-    reason = (
-        F.when(F.col("doc_id").isNull(), "null_doc_id")
-        .when(F.col("doc_id") < 0, "negative_doc_id")
-        .when(F.col("content").isNull(), "null_content")
-        .when(F.count(F.lit(1)).over(Window.partitionBy("doc_id")) > 1,
-              "duplicate_doc_id")
+    fields = (config or IndexConfig()).fields
+    reason = F.when(F.col("doc_id").isNull(), "null_doc_id").when(
+        F.col("doc_id") < 0, "negative_doc_id"
+    )
+    for fld in fields:
+        reason = reason.when(F.col(fld).isNull(), f"null_{fld}")
+    reason = reason.when(
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")) > 1,
+        "duplicate_doc_id",
     )
     flagged = corpus.withColumn("_reason", reason)
     bad = flagged.filter(F.col("_reason").isNotNull())
@@ -313,7 +317,7 @@ def build_index(
     if validate:
         # opt-in: the duplicate-id window adds a shuffle, so validation is an
         # ingest-boundary step, not part of the steady-state rebuild path
-        corpus = quarantine_invalid(corpus, storage, build_id)
+        corpus = quarantine_invalid(corpus, storage, build_id, config)
     if "content_sha256" not in corpus.columns:
         corpus = with_content_sha(corpus)
 
@@ -366,8 +370,14 @@ def build_index(
         *[
             F.struct(
                 F.lit(f).alias("field"),
-                F.regexp_count(F.lower(F.col(f)), F.lit("[a-z0-9]+"))
-                .cast("long").alias("dl"),
+                # coalesce: a NULL field value must count as dl=0 (the pack
+                # kernel's fillna('') convention) — otherwise the row stays in
+                # n_docs but silently drops out of avg(dl)/sum(dl), skewing
+                # avgdl and violating DOC_STATS_SCHEMA's non-null dl
+                F.coalesce(
+                    F.regexp_count(F.lower(F.col(f)), F.lit("[a-z0-9]+")),
+                    F.lit(0),
+                ).cast("long").alias("dl"),
             )
             for f in config.fields
         ]

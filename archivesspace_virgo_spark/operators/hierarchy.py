@@ -48,19 +48,34 @@ def transitive_ancestors(
 
     out = direct
     frontier = direct
-    for _ in range(max_depth):
-        nxt = (
-            frontier.join(up, frontier["ancestor"] == up["_n"])
-            .select("id", F.col("_p").alias("ancestor"), (F.col("depth") + 1).alias("depth"))
-        )
-        # materialize the frontier: keeps the lazy plan from growing a new
-        # join layer per round (lineage blow-up is THE failure mode of
-        # iterative DataFrame loops)
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        out = out.unionByName(nxt)
-        frontier = nxt
+    try:
+        for _ in range(max_depth):
+            nxt = (
+                frontier.join(up, frontier["ancestor"] == up["_n"])
+                .select("id", F.col("_p").alias("ancestor"), (F.col("depth") + 1).alias("depth"))
+            )
+            # materialize the frontier: keeps the lazy plan from growing a new
+            # join layer per round (lineage blow-up is THE failure mode of
+            # iterative DataFrame loops)
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            out = out.unionByName(nxt)
+            frontier = nxt
+        else:
+            if not frontier.isEmpty():
+                # a non-empty frontier after max_depth rounds means a deeper
+                # tree than expected OR a cycle; truncating silently would
+                # under-count in subtree_aggregate
+                raise ValueError(
+                    f"hierarchy deeper than max_depth={max_depth} "
+                    "(or cyclic edge set); raise max_depth or break the cycle"
+                )
+        # pin `out` before dropping `up`: the unioned plan still references
+        # the cached edges until materialized
+        out = out.localCheckpoint(eager=True)
+    finally:
+        up.unpersist()
     return out
 
 

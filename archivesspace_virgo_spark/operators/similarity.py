@@ -157,13 +157,23 @@ def embedding_neardup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path: block the self-join on the LSH bucket (docs only pair
     within a bucket), then exact cosine re-rank.  Misses cross-bucket pairs
     (recall<1, rises with threshold); every returned pair is exact.  The
     bucket id becomes a partition column at scale → co-partitioned join, no
-    full cross product (same trick as dedup.minhash_band_pairs)."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    full cross product (same trick as dedup.minhash_band_pairs).
+
+    Pass ``dim`` explicitly to skip the sniffing job; without it an empty
+    input short-circuits to an empty result."""
+    if dim is None:
+        head = embeddings.select(vec_col).head(1)
+        if not head:
+            return embeddings.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cos double"
+            )
+        dim = len(head[0][0])
     planes = deterministic_hyperplanes(dim, n_planes, seed)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = embeddings.select(
