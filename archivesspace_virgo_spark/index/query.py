@@ -276,12 +276,62 @@ class QueryEngine:
             ordered = ordered.offset(offset)
         return ordered.limit(k)
 
-    # --- facet over a result page (Solr: q=...&facet.field=f,
+    # --- unranked boolean match set (the facet/count primitive) ---
+    def match_ids(self, terms: Sequence[str], mode: str = "or") -> DataFrame:
+        """(doc_shard, doc_id) of every matching doc — NO scoring, NO sort.
+
+        Per-shard kernel decodes only the query terms' doc blobs and emits
+        the OR-union / AND-intersection of their id sets; the output never
+        passes through a ranking step, so counting the full result set
+        (facets) costs one map pass over ≤|terms| posting rows per shard
+        plus a partial-aggregated count — independent of result-set size.
+        """
+        parsed = {self._parse_term(t) for t in terms}
+        uniq = sorted(stored for _f, stored in parsed)
+        stats = self.term_stats(uniq)
+        live = [t for t in uniq if t in stats]
+        if mode == "and" and len(live) != len(uniq):
+            live = []
+        if not live:
+            return self.spark.createDataFrame([], "doc_shard int, doc_id long")
+        n_required = len(live) if mode == "and" else 1
+
+        from archivesspace_virgo_spark import codec  # re-imported on workers
+
+        def matcher(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"doc_shard": pd.Series(dtype="int32"),
+                                  "doc_id": pd.Series(dtype="int64")})
+            if pdf.empty:
+                return empty
+            shard = int(pdf["doc_shard"].iloc[0])
+            ids = [codec.delta_decode(codec.varbyte_decode(blob))
+                   for blob in pdf["doc_blob"]]
+            allids = np.concatenate(ids) if ids else np.empty(0, np.int64)
+            if allids.size == 0:
+                return empty
+            uniq_ids, counts = np.unique(allids, return_counts=True)
+            hit = uniq_ids[counts >= n_required]
+            return pd.DataFrame({
+                "doc_shard": np.full(hit.size, shard, dtype=np.int32),
+                "doc_id": hit.astype(np.int64),
+            })
+
+        postings = self._postings_df().filter(F.col("term").isin(live))
+        return postings.select("doc_shard", "doc_blob").groupBy(
+            "doc_shard"
+        ).applyInPandas(matcher, schema="doc_shard int, doc_id long")
+
+    # --- facet over a result set (Solr: q=...&facet.field=f,
     # IndexRecords.java:134-135): counts of a doc_map field across ALL
-    # matching docs (facets count the full result set, not just the page) ---
+    # matching docs (facets count the full result set, not just the page).
+    # Deliberately NOT search(k=N): ranking the whole result set would
+    # heap-sort every shard's matches and funnel N rows through a single
+    # TakeOrdered partition — dead at 100× scale.  The unranked match set +
+    # semi-join + partial-agg count keeps every stage partition-local until
+    # the final one-row-per-facet-value merge. ---
     def facet_search(self, terms: Sequence[str], field: str,
                      mode: str = "or") -> DataFrame:
-        hits = self.search(terms, k=self.n_docs or 1, mode=mode).select("doc_id")
+        hits = self.match_ids(terms, mode=mode).select("doc_id")
         dm = self.storage.read(self.spark, "doc_map")
         return (
             dm.join(hits, "doc_id", "left_semi")

@@ -83,3 +83,33 @@ def test_query_partials_exchange_free(spark, tmp_path):
     # rows per shard; TakeOrderedAndProject merges partials without another
     assert n <= 1, plan[:4000]
     assert "TakeOrderedAndProject" in plan
+
+
+def test_facet_plan_has_no_global_sort(spark, tmp_path):
+    """facet_search must count the UNRANKED match set: no top-k, no global
+    sort, no single-partition funnel of the full result set (the k=n_docs
+    ranking path was the round-1 scale-killer)."""
+    import re
+
+    from archivesspace_virgo_spark.index.build import build_index
+    from archivesspace_virgo_spark.index.query import QueryEngine
+
+    d = str(tmp_path / "idx")
+    corpus = load_documents_as_corpus(spark, SF_SMOKE)
+    build_index(spark, corpus, d, CFG)
+    engine = QueryEngine(spark, d, CFG)
+    res = engine.facet_search(["table", "join"], "lang")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan, plan[:4000]
+    # executed-plan sorts print as `Sort [keys], <global:bool>, 0`; local
+    # sorts (sort-merge join) are fine, a global one is the regression
+    assert not re.search(r"Sort \[[^\]]*\], true, 0", plan), plan[:4000]
+
+    # semantics: match_ids OR/AND sets must equal the ranked search's doc
+    # sets (search with k >= corpus size ranks everything)
+    for mode in ("or", "and"):
+        want = {r["doc_id"]
+                for r in engine.search(["table", "join"], k=10**6, mode=mode).collect()}
+        got = {r["doc_id"]
+               for r in engine.match_ids(["table", "join"], mode=mode).collect()}
+        assert got == want, (mode, len(got), len(want))
