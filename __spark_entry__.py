@@ -210,7 +210,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.minhash_band_pairs(
             _docs(spark, sf_dir), "doc_id", "text", n_hashes=8, bands=4
         )
-    q["minhash_band_pairs"] = q_minhash_bands  # rows-only (no oracle): LSH banding
+    q["minhash_band_pairs"] = q_minhash_bands
+
+    def q_dedup_clusters(spark, sf_dir):
+        # the post-LSH operator of a real pretraining pipeline: candidate
+        # pairs → connected components → one keeper per duplicate cluster
+        pairs = D.minhash_band_pairs(
+            _docs(spark, sf_dir), "doc_id", "text", n_hashes=8, bands=4
+        )
+        return D.duplicate_clusters(pairs)
+    q["dedup_clusters"] = q_dedup_clusters
 
     # --- similarity search ---
     def q_cosine(spark, sf_dir):
@@ -223,7 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         res = S.lsh_cosine_topk(emb, ANN_QUERY, k=K, n_planes=8, probe_hamming=1)
         return res.select("vec_id", _micro(F.col("cos")).alias("cos_micro"))
-    q["ann_lsh_topk"] = q_ann_lsh  # rows-only: approximate by design
+    q["ann_lsh_topk"] = q_ann_lsh
 
     def q_neardup_exact(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -235,7 +244,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         res = S.embedding_neardup_pairs_lsh(emb, threshold=0.35, n_planes=4)
         return res.select("id_a", "id_b", _micro(F.col("cos")).alias("cos_micro"))
-    q["embedding_neardup_lsh"] = q_neardup_lsh  # rows-only: recall<1 by design
+    q["embedding_neardup_lsh"] = q_neardup_lsh
+
+    # --- multimodal plumbing (binary payload + mapInPandas extraction) ---
+    def q_multimodal_features(spark, sf_dir):
+        # payload rides Arrow into the Python kernel and back; sha256 of the
+        # payload proves byte fidelity end-to-end (the decode step itself is
+        # an honest stub — no media libs in this container)
+        from archivesspace_virgo_spark.operators import multimodal as M
+        media = M.attach_fake_media(_docs(spark, sf_dir), "doc_id", "text")
+        feats = M.extract_media_features(media, "doc_id", dim=16)
+        return feats.select("doc_id", "mime", "n_bytes", "payload_sha256")
+    q["multimodal_features"] = q_multimodal_features
+
+    def q_frame_sample(spark, sf_dir):
+        # frame-sampling plan shape: one row per sampled timestamp, payload
+        # untouched until the (stubbed) decode map stage
+        from archivesspace_virgo_spark.operators import multimodal as M
+        media = M.attach_fake_media(_docs(spark, sf_dir), "doc_id", "text")
+        media = media.withColumn(
+            "media",
+            F.col("media").withField(
+                "duration_ms", (F.col("n_chars") % 5000).cast("int")
+            ),
+        )
+        return M.frame_sample_plan(media, every_ms=100).select(
+            "doc_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+        )
+    q["frame_sample_plan"] = q_frame_sample
 
     # --- reference ETL parity ops over the TPC-H-ish tables ---
     def q_natural_sort(spark, sf_dir):
@@ -588,6 +624,21 @@ FROM (SELECT len({_TOKS}) AS dl FROM documents)
 
     o["dedup_exact"] = D.exact_duplicates_sql("documents", "doc_id", "text")
 
+    # multimodal: fake payload = utf-8(text), so byte fidelity through the
+    # Arrow round-trip is checkable as sha256/octet_length of the text
+    o["multimodal_features"] = """
+SELECT doc_id, 'application/x-fake' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha256
+FROM documents
+"""
+    o["frame_sample_plan"] = """
+SELECT doc_id,
+       CAST(unnest(generate_series(0, ((n_chars % 5000) // 100) * 100, 100))
+            AS BIGINT) AS frame_ts_ms
+FROM documents
+"""
+
     sh = D.shingles_sql("text", 3)
     hash_sql = lambda seed: D.hash64_sql("sh", seed)  # noqa: E731
     o["minhash_signature"] = f"""
@@ -646,6 +697,28 @@ packed AS (
 SELECT d.doc_id, CAST(coalesce(p.simhash, 0) AS BIGINT) AS simhash
 FROM documents d JOIN packed p ON d.doc_id = p._id
 """
+
+    # the LSH trio is approximate w.r.t. the exhaustive answer but fully
+    # deterministic by construction (seeded md5 hyperplanes / band hashes),
+    # so each has an EXACT SQL twin — the scale path is oracle-verified
+    o["minhash_band_pairs"] = D.minhash_band_pairs_sql(
+        "documents", "doc_id", "text", n_hashes=8, bands=4
+    )
+    o["dedup_clusters"] = D.duplicate_clusters_sql(
+        D.minhash_band_pairs_sql("documents", "doc_id", "text", n_hashes=8, bands=4)
+    )
+    o["ann_lsh_topk"] = (
+        "SELECT vec_id, {m} AS cos_micro FROM ({inner}) t".format(
+            m=micro("cos"),
+            inner=S.lsh_cosine_topk_sql(ANN_QUERY, k=K, n_planes=8, probe_hamming=1),
+        )
+    )
+    o["embedding_neardup_lsh"] = (
+        "SELECT id_a, id_b, {m} AS cos_micro FROM ({inner}) t".format(
+            m=micro("cos"),
+            inner=S.embedding_neardup_pairs_lsh_sql(threshold=0.35, n_planes=4),
+        )
+    )
 
     o["cosine_topk"] = (
         "SELECT vec_id, {m} AS cos_micro FROM ({inner}) t".format(

@@ -139,6 +139,100 @@ def minhash_band_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def minhash_band_pairs_sql(table: str, id_col: str, text_expr: str,
+                           n_hashes: int = 16, bands: int = 4,
+                           shingle_n: int = 3) -> str:
+    """DuckDB oracle for ``minhash_band_pairs`` — the banding is fully
+    deterministic (seeded md5 hashes), so the exact pair set is SQL-
+    expressible: same signature mins, same band slicing, same bucket join."""
+    rows_per_band = n_hashes // bands
+    sh = shingles_sql(text_expr, shingle_n)
+    mins = ", ".join(
+        f"min({hash64_sql('sh', seed)}) AS h{seed}" for seed in range(n_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT _id, {b} AS band, {sig} AS band_sig FROM sig".format(
+            b=b,
+            sig=" || ',' || ".join(
+                f"h{b * rows_per_band + i}::VARCHAR" for i in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH ex AS (SELECT {id_col} AS _id, unnest({sh}) AS sh FROM {table}),
+sig AS (SELECT _id, {mins} FROM ex GROUP BY _id),
+banded AS ({band_rows})
+SELECT a._id AS id_a, b._id AS id_b, count(*) AS n_bands_hit
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig AND a._id < b._id
+GROUP BY 1, 2
+"""
+
+
+def duplicate_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components over candidate pairs → (doc_id, keeper).
+
+    The operator a pretraining pipeline runs AFTER LSH banding: near-dup
+    pairs are edges; each doc keeps the minimum doc_id of its component as
+    the canonical representative (everything else is dropped downstream).
+
+    Iterative min-label propagation: each round every node takes
+    min(own label, neighbors' labels); converges in O(component diameter)
+    rounds — near-dup clusters are shallow, so a handful of rounds.  Each
+    round is one shuffle of the (still-shrinking) label relation against the
+    edge relation; frontiers are localCheckpointed so the plan stays flat.
+    Only docs that appear in ≥1 pair are returned (singletons are trivially
+    their own keeper and would dominate row count at scale).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("u").alias("id"), F.col("u").alias("label")).distinct()
+    for _ in range(max_rounds):
+        neigh = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select("id", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+        )
+        done = changed.isEmpty()
+        labels = new_labels
+        if done:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keeper"))
+
+
+def duplicate_clusters_sql(pairs_sql: str) -> str:
+    """DuckDB oracle: min reachable id via recursive transitive closure."""
+    return f"""
+WITH RECURSIVE cand AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM cand
+  UNION
+  SELECT id_b AS u, id_a AS v FROM cand
+),
+reach(id, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+)
+SELECT id AS doc_id, min(r) AS keeper FROM reach GROUP BY id
+"""
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard over candidate pairs
 # ---------------------------------------------------------------------------

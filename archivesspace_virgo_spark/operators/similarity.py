@@ -98,6 +98,88 @@ def lsh_bucket(vec_col: Column, planes: List[List[float]]) -> Column:
     return bucket
 
 
+def _sql_vec(vals: Sequence[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vals) + "]::DOUBLE[]"
+
+
+def lsh_bucket_sql(vec_expr: str, planes: List[List[float]]) -> str:
+    """DuckDB twin of ``lsh_bucket`` (planes inlined as literal arrays)."""
+    terms = [
+        f"(CASE WHEN list_dot_product({vec_expr}, {_sql_vec(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_cosine_topk_sql(
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> str:
+    """DuckDB oracle for ``lsh_cosine_topk``: the hyperplanes, query bucket
+    and probe set are all deterministic, so the approximate result is itself
+    an exact contract — same buckets, same candidates, same re-rank."""
+    dim = len(query_vec)
+    planes = deterministic_hyperplanes(dim, n_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if float(np.dot(q, np.asarray(plane))) >= 0:
+            qbucket |= 1 << i
+    probes = [qbucket]
+    if probe_hamming >= 1:
+        probes += [qbucket ^ (1 << i) for i in range(n_planes)]
+    probe_list = ", ".join(str(p) for p in sorted(set(probes)))
+    qv = _sql_vec(query_vec)
+    return f"""
+WITH cand AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS _v
+  FROM {table}
+  WHERE {lsh_bucket_sql(f"{vec_col}::DOUBLE[]", planes)} IN ({probe_list})
+),
+s AS (
+  SELECT vec_id,
+         list_dot_product(_v, {qv})
+           / (sqrt(list_dot_product(_v, _v)) * sqrt(list_dot_product({qv}, {qv}))) AS _cos
+  FROM cand
+)
+SELECT vec_id, round(_cos, 6) AS cos FROM s
+ORDER BY _cos DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def embedding_neardup_pairs_lsh_sql(
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for ``embedding_neardup_pairs_lsh`` (same deterministic
+    buckets, same within-bucket exact cosine + threshold)."""
+    planes = deterministic_hyperplanes(dim, n_planes, seed)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS _id, {vec_col}::DOUBLE[] AS _v,
+         sqrt(list_dot_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[])) AS _n,
+         {lsh_bucket_sql(f"{vec_col}::DOUBLE[]", planes)} AS _bucket
+  FROM {table}
+)
+SELECT a._id AS id_a, b._id AS id_b,
+       round(list_dot_product(a._v, b._v) / (a._n * b._n), 6) AS cos
+FROM base a JOIN base b ON a._bucket = b._bucket AND a._id < b._id
+WHERE round(list_dot_product(a._v, b._v) / (a._n * b._n), 6) >= {threshold}
+"""
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
