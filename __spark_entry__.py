@@ -33,6 +33,7 @@ from archivesspace_virgo_spark.tokenizer import TOKEN_SPLIT_PATTERN
 TERMS_OR = ["spark", "window", "merge"]
 TERMS_AND = ["table", "join"]
 TERMS_RARE = ["customer", "vector"]
+PHRASE = ["value", "table"]  # consecutive-bigram phrase present at every sf
 K = 10
 
 _TOKS = (
@@ -111,6 +112,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = engine.search(["table", "lang:en"], k=K, mode="and")
         return res.select("doc_id", _micro(F.col("score")).alias("score_micro"))
     q["bm25_field_scoped"] = q_bm25_field_scoped
+
+    def q_bm25_phrase(spark, sf_dir):
+        # T2 positions + T8: Lucene-surface exact-phrase query through the
+        # compressed index (positions decoded from pos_blob per shard)
+        engine = _engine_for(spark, sf_dir)
+        res = engine.phrase_search(PHRASE, k=K)
+        return res.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+    q["bm25_phrase"] = q_bm25_phrase
 
     def q_bm25_paged(spark, sf_dir):
         # O3: Solr cursor paging (start=10&rows=10, SolrHelper.java:43-66)
@@ -578,6 +587,12 @@ scored AS (
 SELECT doc_id, CAST(round(_score * 1000000.0) AS BIGINT) AS score_micro
 FROM scored ORDER BY _score DESC, doc_id ASC LIMIT {K}
 """
+
+    from archivesspace_virgo_spark.functions.bm25 import phrase_oracle_sql
+    phrase_inner = phrase_oracle_sql(PHRASE, k=K)
+    o["bm25_phrase"] = (
+        f"SELECT doc_id, {micro('score')} AS score_micro FROM ({phrase_inner}) t"
+    )
 
     paged_inner = bm25_oracle_sql(TERMS_OR, k=K, mode="or", offset=10)
     o["bm25_paged"] = (

@@ -21,15 +21,13 @@ from typing import Tuple
 import numpy as np
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64 array to varbyte. Fully vectorized."""
+def _varbyte_encode_raw(values: np.ndarray):
+    """Core varbyte encoder: returns (uint8 array, per-value byte counts)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # number of 7-bit groups per value (at least 1)
-    nbits = np.zeros(v.shape, dtype=np.int64)
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    # number of 7-bit groups per value (at least 1); max 10 for 64-bit
     tmp = v.copy()
-    # max 10 groups for 64-bit
     nbytes = np.ones(v.shape, dtype=np.int64)
     tmp = tmp >> np.uint64(7)
     while tmp.any():
@@ -51,7 +49,36 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         byte[last] |= 0x80
         out[pos] = byte
         rem = rem >> np.uint64(7)
+    return out, nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array to varbyte. Fully vectorized."""
+    out, _ = _varbyte_encode_raw(values)
     return out.tobytes()
+
+
+def varbyte_encode_segments(values: np.ndarray, seg_starts: np.ndarray) -> list:
+    """Encode MANY value segments in one vectorized pass; returns one bytes
+    blob per segment.
+
+    ``seg_starts``: ascending value-index starts (first must be 0); segment i
+    covers values[seg_starts[i]:seg_starts[i+1]].  The bit-math runs batched
+    over ALL segments (this is what removes the per-term Python loop from the
+    build hot path); the only per-segment work is a memoryview slice.
+    """
+    out, nbytes = _varbyte_encode_raw(values)
+    seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    if seg_starts.size == 0:
+        return []
+    byte_ends = np.cumsum(nbytes)
+    # byte offset where each segment begins
+    seg_byte_starts = np.zeros(seg_starts.size, dtype=np.int64)
+    nz = seg_starts > 0
+    seg_byte_starts[nz] = byte_ends[seg_starts[nz] - 1]
+    seg_byte_ends = np.append(seg_byte_starts[1:], out.size)
+    buf = out.tobytes()
+    return [buf[a:b] for a, b in zip(seg_byte_starts, seg_byte_ends)]
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:
@@ -136,6 +163,29 @@ def encode_postings(
         tf_pad.max(axis=1),
         dl_pad.min(axis=1),
     )
+
+
+def decode_positions(pos_blob: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Decode a term's position blob back to absolute positions.
+
+    The blob is the concatenation, in posting (doc) order, of each doc's
+    ascending position list delta-encoded (first position absolute, then
+    gaps).  ``tfs`` gives the per-doc occurrence counts, i.e. the segment
+    lengths.  Returns one flat int64 array (sum(tfs) long); segment i is
+    ``out[cum_tf[i]:cum_tf[i+1]]``.
+    """
+    d = varbyte_decode(pos_blob).astype(np.int64)
+    if d.size == 0:
+        return d
+    tfs = np.asarray(tfs, dtype=np.int64)
+    seg_starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+    g = np.cumsum(d)
+    # subtract the running total accumulated BEFORE each segment so each
+    # segment's cumsum restarts at its absolute first position
+    prefix = np.zeros(seg_starts.size, dtype=np.int64)
+    nz = seg_starts > 0
+    prefix[nz] = g[seg_starts[nz] - 1]
+    return g - np.repeat(prefix, tfs)
 
 
 def decode_postings(

@@ -14,7 +14,7 @@ import json
 from dataclasses import asdict, dataclass, field
 
 #: bump when tokenizer / codec / layout semantics change incompatibly
-FORMAT_VERSION = 5
+FORMAT_VERSION = 6  # v6: term positions (pos_blob) added to postings
 
 
 @dataclass(frozen=True)

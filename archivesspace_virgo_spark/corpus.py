@@ -32,12 +32,13 @@ def with_content_sha(df: DataFrame) -> DataFrame:
     return df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
 
 
-def assign_doc_ids(df: DataFrame, num_partitions: int = 32) -> DataFrame:
+def assign_doc_ids(df: DataFrame, num_partitions: int = 32, base: int = 0) -> DataFrame:
     """Deterministic dense doc_id from the total order on (repo, path, commit).
 
     Two-phase prefix-sum: scales to 10^12 rows because no single task ever
     sees more than one range-partition, and the driver only collects one
-    count per partition.
+    count per partition.  ``base`` offsets the whole sequence (incremental
+    appends allocate above the stored max id).
     """
     keyed = df.repartitionByRange(num_partitions, *KEY_COLUMNS)
     keyed = keyed.sortWithinPartitions(*KEY_COLUMNS)
@@ -57,7 +58,7 @@ def assign_doc_ids(df: DataFrame, num_partitions: int = 32) -> DataFrame:
     w = Window.partitionBy("_pid").orderBy(*KEY_COLUMNS)
     out = (
         part.join(offsets_df, "_pid")
-        .withColumn("doc_id", F.row_number().over(w) - 1 + F.col("_offset"))
+        .withColumn("doc_id", F.row_number().over(w) - 1 + F.col("_offset") + F.lit(base))
         .drop("_pid", "_offset")
     )
     return out

@@ -92,6 +92,56 @@ def bm25_topk_df(
     )
 
 
+def phrase_oracle_sql(
+    terms: Sequence[str],
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    offset: int = 0,
+) -> str:
+    """DuckDB oracle for exact-phrase BM25 (Lucene PhraseQuery contract:
+    tf = phrase frequency, idf = sum of the phrase terms' idfs in phrase
+    order — matching the engine's accumulation order exactly)."""
+    n = len(terms)
+    toks_expr = (
+        f"list_filter(string_split_regex(lower({text_col}), "
+        f"'{TOKEN_SPLIT_PATTERN}'), t -> t <> '')"
+    )
+    dfs = ", ".join(
+        f"count(*) FILTER (WHERE list_contains(t, '{t}')) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    match = " AND ".join(f"t[i+{i}] = '{t}'" for i, t in enumerate(terms))
+    idf_sum = " + ".join(
+        f"ln(1.0 + (stats.n_docs - dfs.df{i} + 0.5) / (dfs.df{i} + 0.5))"
+        for i in range(n)
+    )
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, {toks_expr} AS t FROM {table}),
+stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
+dfs AS (SELECT {dfs} FROM toks),
+pf AS (
+  SELECT doc_id, len(t) AS dl,
+         len(list_filter(range(1, len(t) - {n - 1} + 1), i -> {match})) AS ptf
+  FROM toks
+),
+scored AS (
+  SELECT doc_id,
+         ({idf_sum})
+           * pf.ptf / (pf.ptf + {k1} * (1.0 - {b} + {b} * pf.dl / stats.avgdl))
+           AS _score
+  FROM pf CROSS JOIN stats CROSS JOIN dfs
+  WHERE pf.ptf > 0
+)
+SELECT doc_id, round(_score, {ROUND}) AS score
+FROM scored ORDER BY _score DESC, doc_id ASC
+LIMIT {k} OFFSET {offset}
+"""
+
+
 def bm25_oracle_sql(
     terms: Sequence[str],
     k: int = 10,

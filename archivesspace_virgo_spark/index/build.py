@@ -57,31 +57,102 @@ from archivesspace_virgo_spark.index.storage import (
 from archivesspace_virgo_spark.tokenizer import tokens_column
 
 
-def _pack_sorted(shard: int, terms, doc_ids, tfs, dls, block_size: int) -> pd.DataFrame:
-    """Encode (term, doc)-sorted posting arrays into one row per term."""
-    uniq, starts = np.unique(terms, return_index=True)
-    bounds = np.append(starts, terms.size)
-    out = {
-        "doc_shard": [], "term": [], "n_docs": [], "cf": [],
-        "doc_blob": [], "tf_blob": [], "dl_blob": [],
-        "block_last_doc": [], "block_max_tf": [], "block_min_dl": [],
-    }
-    for i, term in enumerate(uniq):
-        s, e = bounds[i], bounds[i + 1]
-        d_blob, t_blob, l_blob, b_last, b_maxtf, b_mindl = codec.encode_postings(
-            doc_ids[s:e], tfs[s:e], dls[s:e], block_size
-        )
-        out["doc_shard"].append(shard)
-        out["term"].append(str(term))
-        out["n_docs"].append(int(e - s))
-        out["cf"].append(int(tfs[s:e].sum()))
-        out["doc_blob"].append(d_blob)
-        out["tf_blob"].append(t_blob)
-        out["dl_blob"].append(l_blob)
-        out["block_last_doc"].append(b_last.tolist())
-        out["block_max_tf"].append(b_maxtf.tolist())
-        out["block_min_dl"].append(b_mindl.tolist())
-    return pd.DataFrame(out)
+def _pack_occurrences(
+    shard: int, terms, doc_ids, dls, positions, block_size: int
+) -> pd.DataFrame:
+    """Encode raw token OCCURRENCES into one posting row per term.
+
+    Input: one entry per token occurrence (term, doc_id, dl, position within
+    the doc's field token stream).  Everything — tf aggregation, delta-gap,
+    varbyte, positions, block-max — is computed with batched numpy over the
+    whole shard at once; the only per-term Python work is slicing the
+    pre-encoded byte stream (``codec.varbyte_encode_segments``).  This
+    replaces the round-1 per-term interpreter loop that bounded build CPU.
+    """
+    n = terms.size
+    cols = [f.name for f in POSTINGS_SCHEMA.fields]
+    if n == 0:
+        return pd.DataFrame(columns=cols)
+    uniq_terms, codes = np.unique(terms, return_inverse=True)
+    order = np.lexsort((positions, doc_ids, codes))
+    codes = codes[order]
+    docs = doc_ids[order]
+    dls = dls[order]
+    poss = positions[order]
+
+    # posting boundaries: one posting per (term, doc)
+    newpost = np.empty(n, dtype=bool)
+    newpost[0] = True
+    newpost[1:] = (codes[1:] != codes[:-1]) | (docs[1:] != docs[:-1])
+    p_start = np.flatnonzero(newpost)
+    tf = np.diff(np.append(p_start, n))
+    post_doc = docs[p_start]
+    post_dl = dls[p_start]
+    post_code = codes[p_start]
+    m = p_start.size
+
+    # per-posting position deltas (first absolute, then gaps; ascending
+    # within a posting by the lexsort)
+    pos_d = np.empty(n, dtype=np.int64)
+    pos_d[0] = poss[0]
+    pos_d[1:] = poss[1:] - poss[:-1]
+    pos_d[p_start] = poss[p_start]
+
+    # term boundaries over postings
+    t_new = np.empty(m, dtype=bool)
+    t_new[0] = True
+    t_new[1:] = post_code[1:] != post_code[:-1]
+    t_start = np.flatnonzero(t_new)
+    t_end = np.append(t_start[1:], m)
+    n_terms = t_start.size
+
+    # per-term doc-id gaps (first absolute)
+    gap = np.empty(m, dtype=np.int64)
+    gap[0] = post_doc[0]
+    gap[1:] = post_doc[1:] - post_doc[:-1]
+    gap[t_start] = post_doc[t_start]
+
+    doc_blobs = codec.varbyte_encode_segments(gap.astype(np.uint64), t_start)
+    tf_blobs = codec.varbyte_encode_segments(tf.astype(np.uint64), t_start)
+    dl_blobs = codec.varbyte_encode_segments(post_dl.astype(np.uint64), t_start)
+    pos_blobs = codec.varbyte_encode_segments(
+        pos_d.astype(np.uint64), p_start[t_start]
+    )
+
+    # block-max metadata: fixed-size blocks WITHIN each term's posting list.
+    # Block starts partition [0, m), so one reduceat per stat covers all
+    # terms at once.
+    counts = t_end - t_start
+    nb = (counts + block_size - 1) // block_size
+    total_blocks = int(nb.sum())
+    block_term = np.repeat(np.arange(n_terms), nb)
+    nb_prefix = np.concatenate([[0], np.cumsum(nb)[:-1]])
+    within = np.arange(total_blocks) - nb_prefix[block_term]
+    block_start = t_start[block_term] + within * block_size
+    block_end = np.minimum(block_start + block_size, t_end[block_term])
+    b_maxtf = np.maximum.reduceat(tf, block_start)
+    b_mindl = np.minimum.reduceat(post_dl, block_start)
+    b_last = post_doc[block_end - 1]
+    nb_bounds = np.cumsum(nb)[:-1]
+    b_last_per = np.split(b_last, nb_bounds)
+    b_maxtf_per = np.split(b_maxtf, nb_bounds)
+    b_mindl_per = np.split(b_mindl, nb_bounds)
+
+    # per-term cf (sum of tfs) via reduceat over postings
+    cf = np.add.reduceat(tf, t_start)
+    return pd.DataFrame({
+        "doc_shard": np.full(n_terms, shard, dtype=np.int32),
+        "term": uniq_terms.astype(object),
+        "n_docs": counts.astype(np.int32),
+        "cf": cf.astype(np.int64),
+        "doc_blob": doc_blobs,
+        "tf_blob": tf_blobs,
+        "dl_blob": dl_blobs,
+        "pos_blob": pos_blobs,
+        "block_last_doc": [b.tolist() for b in b_last_per],
+        "block_max_tf": [b.tolist() for b in b_maxtf_per],
+        "block_min_dl": [b.tolist() for b in b_mindl_per],
+    })
 
 
 def _make_packer(block_size: int, fields: tuple = ("content",)):
@@ -110,38 +181,34 @@ def _make_packer(block_size: int, fields: tuple = ("content",)):
             return empty
         shard = int(pdf["doc_shard"].iloc[0])
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        doc_parts, dl_parts, term_parts = [], [], []
+        doc_parts, dl_parts, term_parts, pos_parts = [], [], [], []
         for f in fields:
             toks = tokenize_series(pdf[f])
             if f != default:
                 prefix = f + ":"
                 toks = toks.map(lambda ts: [prefix + t for t in ts])
             lens = toks.map(len).to_numpy(dtype=np.int64)
-            if int(lens.sum()) == 0:
+            total = int(lens.sum())
+            if total == 0:
                 continue
             doc_parts.append(np.repeat(doc_ids, lens))
             dl_parts.append(np.repeat(lens, lens))
+            # token position within the doc's field stream (0-based): a
+            # single arange minus each doc's broadcast start offset
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            pos_parts.append(np.arange(total, dtype=np.int64)
+                             - np.repeat(starts, lens))
             term_parts.append(
                 np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
             )
         if not term_parts:
             return empty
-        tf = (
-            pd.DataFrame({
-                "term": np.concatenate(term_parts),
-                "doc_id": np.concatenate(doc_parts),
-                "dl": np.concatenate(dl_parts),
-            })
-            .groupby(["term", "doc_id"], sort=True)
-            .agg(tf=("dl", "size"), dl=("dl", "first"))
-            .reset_index()
-        )
-        return _pack_sorted(
+        return _pack_occurrences(
             shard,
-            tf["term"].to_numpy(),
-            tf["doc_id"].to_numpy(dtype=np.int64),
-            tf["tf"].to_numpy(dtype=np.int64),
-            tf["dl"].to_numpy(dtype=np.int64),
+            np.concatenate(term_parts),
+            np.concatenate(doc_parts),
+            np.concatenate(dl_parts),
+            np.concatenate(pos_parts),
             block_size,
         )
 

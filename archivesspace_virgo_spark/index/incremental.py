@@ -33,10 +33,9 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from archivesspace_virgo_spark.config import IndexConfig
-from archivesspace_virgo_spark.corpus import with_content_sha
+from archivesspace_virgo_spark.corpus import assign_doc_ids, with_content_sha
 from archivesspace_virgo_spark.index.build import build_index
 from archivesspace_virgo_spark.index.storage import IndexStorage
 
@@ -73,11 +72,11 @@ def detect_changes(spark: SparkSession, new_corpus: DataFrame, index_dir: str) -
 
     max_old = old.agg(F.max("_old_id")).collect()[0][0]
     base = (max_old if max_old is not None else -1) + 1
-    w = Window.orderBy(*IDENTITY)  # new docs are few; single-task rank is OK —
-    # at scale swap for the two-phase prefix-sum of corpus.assign_doc_ids
-    added = (
-        joined.filter(F.col("_old_id").isNull())
-        .withColumn("doc_id", F.row_number().over(w) - 1 + F.lit(base))
+    # two-phase prefix-sum id assignment with a base offset: a first
+    # backfill or bulk append IS the common case at scale, so the added set
+    # must never funnel through a single un-partitioned window task
+    added = assign_doc_ids(
+        joined.filter(F.col("_old_id").isNull()), base=base
     )
 
     drop = ["_old_id", "_old_sha"]

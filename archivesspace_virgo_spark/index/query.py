@@ -276,6 +276,103 @@ class QueryEngine:
             ordered = ordered.offset(offset)
         return ordered.limit(k)
 
+    # --- phrase query (T2 positions + T8; Lucene PhraseQuery surface,
+    # the quoted-phrase syntax of the reference's Solr q=..., per
+    # SolrHelper.java:39-80) ---
+    def phrase_search(self, phrase, k: int = 10, field: Optional[str] = None,
+                      offset: int = 0) -> DataFrame:
+        """Exact-phrase BM25 top-k: docs where the terms occur consecutively.
+
+        Scoring follows Lucene's PhraseQuery contract: tf = exact phrase
+        frequency, idf = SUM of the phrase terms' idfs (duplicates counted),
+        score = idf_sum * ptf / (ptf + k1*(1 - b + b*dl/avgdl)).
+
+        Kernel: per shard, each term's occurrence set becomes a key array
+        ``local_doc * 2^33 + (position - i)``; the phrase's start positions
+        are the running ``np.intersect1d`` across terms — fully vectorized,
+        no per-doc loop.  Only ≤k partial rows leave each shard.
+        """
+        from archivesspace_virgo_spark.tokenizer import tokenize_text
+
+        terms = tokenize_text(phrase) if isinstance(phrase, str) else list(phrase)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not terms:
+            return empty
+        default = self.config.fields[0]
+        field = field or default
+        stored = [t if field == default else f"{field}:{t}" for t in terms]
+        uniq = sorted(set(stored))
+        stats = self.term_stats(uniq)
+        if len(stats) != len(uniq):
+            return empty  # a missing term empties a phrase query
+        n_docs_f, avgdl_f = self.field_stats[field]
+        idf_sum = float(
+            sum(lucene_idf(n_docs_f, stats[t][0]) for t in stored)
+        )
+        k1, b = self.config.k1, self.config.b
+        docs_per_shard = self.config.docs_per_shard
+        kk = k + offset
+
+        from archivesspace_virgo_spark import codec  # re-imported on workers
+
+        def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty_p = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                    "score": pd.Series(dtype="float64")})
+            by_term = {
+                t: row
+                for t, row in zip(pdf["term"], pdf.itertuples(index=False))
+            }
+            if any(t not in by_term for t in uniq):
+                return empty_p  # phrase is an AND across its terms
+            shard = int(pdf["doc_shard"].iloc[0])
+            base = shard * docs_per_shard
+            dec = {}
+            for t in uniq:
+                row = by_term[t]
+                d, tf_, dl_ = codec.decode_postings(
+                    row.doc_blob, row.tf_blob, row.dl_blob
+                )
+                pos = codec.decode_positions(row.pos_blob, tf_)
+                ldoc = d.astype(np.int64) - base
+                dec[t] = (ldoc, dl_, np.repeat(ldoc, tf_), pos)
+            M = np.int64(1) << np.int64(33)  # > any real doc length
+            keys = None
+            for i, t in enumerate(stored):
+                _, _, occ_doc, pos = dec[t]
+                valid = pos >= i
+                key = occ_doc[valid] * M + (pos[valid] - i)
+                keys = key if keys is None else np.intersect1d(
+                    keys, key, assume_unique=True
+                )
+                if keys.size == 0:
+                    return empty_p
+            hit, ptf = np.unique(keys // M, return_counts=True)
+            ldoc0, dl0, _, _ = dec[stored[0]]
+            dls = dl0[np.searchsorted(ldoc0, hit)].astype(np.float64)
+            ptf = ptf.astype(np.float64)
+            score = idf_sum * ptf / (
+                ptf + k1 * (1.0 - b + b * dls / avgdl_f)
+            )
+            if hit.size > kk:
+                top = np.argpartition(-score, kk - 1)[:kk]
+                thresh = score[top].min()
+                keep = score >= thresh  # boundary ties → doc_id tiebreak
+                hit, score = hit[keep], score[keep]
+            order = np.lexsort((hit, -score))[:kk]
+            return pd.DataFrame({
+                "doc_id": (hit[order] + base).astype(np.int64),
+                "score": score[order],
+            })
+
+        postings = self._postings_df().filter(F.col("term").isin(uniq))
+        partials = postings.groupBy("doc_shard").applyInPandas(
+            scorer, schema="doc_id long, score double"
+        )
+        ordered = partials.orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            ordered = ordered.offset(offset)
+        return ordered.limit(k)
+
     # --- unranked boolean match set (the facet/count primitive) ---
     def match_ids(self, terms: Sequence[str], mode: str = "or") -> DataFrame:
         """(doc_shard, doc_id) of every matching doc — NO scoring, NO sort.

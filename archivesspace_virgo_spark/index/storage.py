@@ -7,6 +7,7 @@ semantics both provide):
     doc_map/      (doc_shard=N/) doc_id, repo, path, commit, lang, content_sha256
     doc_stats/    (doc_shard=N/) doc_id, field, dl     (per-field lengths)
     postings/     (doc_shard=N/) term, n_docs, cf, doc_blob, tf_blob,
+                                 dl_blob, pos_blob,
                                  block_last_doc, block_max_tf, block_min_dl
                   (non-default-field terms stored prefixed "field:token" —
                    the composite (field, term) key of SURVEY §2.8-T10)
@@ -47,6 +48,10 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("doc_blob", T.BinaryType(), False),
         T.StructField("tf_blob", T.BinaryType(), False),
         T.StructField("dl_blob", T.BinaryType(), False),
+        # per-posting ascending position lists, delta+varbyte, concatenated
+        # in posting order (segment lengths = tfs) — SURVEY §2.8-T2 "collect
+        # positions"; enables Lucene-surface phrase queries
+        T.StructField("pos_blob", T.BinaryType(), False),
         T.StructField("block_last_doc", T.ArrayType(T.LongType()), False),
         T.StructField("block_max_tf", T.ArrayType(T.LongType()), False),
         T.StructField("block_min_dl", T.ArrayType(T.LongType()), False),

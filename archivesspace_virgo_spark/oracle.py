@@ -110,6 +110,37 @@ def oracle_search_fields(
     return scored[:k]
 
 
+def oracle_phrase_search(
+    docs: Sequence[Tuple[int, str]],
+    phrase_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> List[Tuple[int, float]]:
+    """Brute-force exact-phrase BM25 (Lucene PhraseQuery contract):
+    tf = phrase frequency (consecutive occurrences), idf = sum of the
+    phrase terms' idfs (duplicates counted), standard BM25 norm."""
+    terms = list(phrase_terms)
+    n = len(terms)
+    index = build_oracle_index(docs)
+    if any(index.df.get(t, 0) == 0 for t in terms):
+        return []
+    idf_sum = sum(idf(index.n_docs, index.df[t]) for t in terms)
+    scored: List[Tuple[int, float]] = []
+    for doc_id, content in docs:
+        toks = tokenize_text(content)
+        dl = len(toks)
+        ptf = sum(
+            1 for i in range(dl - n + 1) if toks[i:i + n] == terms
+        )
+        if ptf == 0:
+            continue
+        norm = index.avgdl and (1.0 - b + b * dl / index.avgdl)
+        scored.append((doc_id, idf_sum * ptf / (ptf + k1 * norm)))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
 def oracle_search(
     index: OracleIndex,
     terms: Sequence[str],

@@ -85,6 +85,29 @@ def test_query_partials_exchange_free(spark, tmp_path):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_added_id_assignment_has_no_global_window(spark, tmp_path):
+    """Incremental added-doc id assignment must use the two-phase prefix-sum
+    (per-partition window over _pid), never an un-partitioned global window
+    that funnels every added row through one task."""
+    from archivesspace_virgo_spark.index.build import build_index
+    from archivesspace_virgo_spark.index.incremental import detect_changes
+
+    d = str(tmp_path / "idx")
+    corpus = load_documents_as_corpus(spark, SF_SMOKE)
+    half = corpus.filter(F.col("doc_id") < 250)
+    build_index(spark, half, d, CFG)
+    ch = detect_changes(spark, corpus, d)
+    plan = ch["added"]._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window " in ln]
+    assert win_lines, "expected a windowed id assignment in the added plan"
+    for ln in win_lines:
+        assert "_pid" in ln, f"un-partitioned window in added plan:\n{ln}"
+    # ids are dense above the stored max
+    ids = sorted(r["doc_id"] for r in ch["added"].select("doc_id").collect())
+    old_max = 249
+    assert ids == list(range(old_max + 1, old_max + 1 + len(ids)))
+
+
 def test_facet_plan_has_no_global_sort(spark, tmp_path):
     """facet_search must count the UNRANKED match set: no top-k, no global
     sort, no single-partition funnel of the full result set (the k=n_docs
