@@ -283,6 +283,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["frame_sample_plan"] = q_frame_sample
 
     # --- reference ETL parity ops over the TPC-H-ish tables ---
+    def q_schema_migrate(spark, sf_dir):
+        # the reference's second entry point: v3→v4 field-map re-render
+        # (aspace-solr-v3-to-v4.xsl applied by IndexRecordsForV4.java);
+        # a v3-shaped relation is synthesized deterministically from orders
+        from archivesspace_virgo_spark.operators.migrate import (
+            schema_migrate_v3_to_v4,
+        )
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        v3 = o.select(
+            F.col("o_orderkey").cast("string").alias("id"),
+            F.col("o_orderpriority").alias("main_title_display"),
+            F.concat(F.lit("ms box "), F.col("o_orderstatus")).alias("call_number_facet"),
+            F.year("o_orderdate").alias("date_multisort_i"),
+            F.when(F.col("o_orderkey") % 3 == 0, "Special Collections")
+            .when(F.col("o_orderkey") % 3 == 1, "Law Library")
+            .otherwise("Alderman").alias("library_facet"),
+            F.when(F.col("o_orderkey") % 2 == 0, "Online")
+            .otherwise("Book").alias("format_facet"),
+            F.when(
+                F.col("o_orderkey") % 5 == 0,
+                F.concat(F.lit("http://guides.example/"),
+                         F.col("o_orderkey").cast("string")),
+            ).alias("online_url_display"),
+            F.lit('{"location": "stacks"}').alias("special_collections_holding_display"),
+            F.col("o_orderstatus").alias("source_facet"),
+        )
+        return schema_migrate_v3_to_v4(v3, record_date="2026-01-01T00:00:00Z")
+    q["schema_migrate_v4"] = q_schema_migrate
+
     def q_natural_sort(spark, sf_dir):
         p = spark.read.parquet(f"{sf_dir}/part.parquet")
         return p.select("p_partkey", E.natural_sort_key("p_name").alias("nat_key"))
@@ -746,6 +775,61 @@ FROM documents d JOIN packed p ON d.doc_id = p._id
             m=micro("cos"), inner=S.embedding_neardup_pairs_sql(threshold=0.35)
         )
     )
+
+    o["schema_migrate_v4"] = """
+WITH v3 AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+         o_orderpriority AS main_title_display,
+         'ms box ' || o_orderstatus AS call_number_facet,
+         year(o_orderdate) AS date_multisort_i,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'Special Collections'
+              WHEN o_orderkey % 3 = 1 THEN 'Law Library'
+              ELSE 'Alderman' END AS library_facet,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'Online' ELSE 'Book' END AS format_facet,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN 'http://guides.example/' || CAST(o_orderkey AS VARCHAR)
+         END AS online_url_display,
+         '{"location": "stacks"}' AS special_collections_holding_display,
+         o_orderstatus AS source_facet
+  FROM orders
+)
+SELECT 'archival' AS pool_f,
+       'false' AS circulating_f,
+       '2026-01-01T00:00:00Z' AS record_date_stored,
+       CASE WHEN format_facet = 'Online' THEN ['Online', 'On shelf']
+            ELSE ['On shelf'] END AS uva_availability_f_stored,
+       CASE WHEN format_facet = 'Online' THEN ['Online', 'On shelf']
+            ELSE ['On shelf'] END AS anon_availability_f_stored,
+       translate(call_number_facet, 'ms', 'MS') AS call_number_tsearch_stored,
+       translate(call_number_facet, 'ms ', 'MS_') AS mss_work_key_sort,
+       translate(call_number_facet, 'ms ', 'MS_') AS work_title3_key_ssort,
+       translate(call_number_facet, 'ms ', 'MS_') AS work_title2_key_ssort,
+       CASE WHEN date_multisort_i IS NOT NULL
+            THEN CAST(date_multisort_i AS VARCHAR) || '-01-01T00:00:00Z'
+       END AS published_date,
+       replace(special_collections_holding_display,
+               '"location"', '"current_location"') AS sc_availability_large_single,
+       online_url_display AS url_supp_a,
+       CASE WHEN online_url_display IS NOT NULL
+            THEN 'GUIDE TO THE COLLECTION AVAILABLE ONLINE'
+       END AS url_label_supp_a,
+       library_facet AS library_f_stored,
+       CASE WHEN library_facet = 'Special Collections' THEN library_facet
+            ELSE source_facet END AS source_f_stored,
+       id AS id,
+       CAST(NULL AS VARCHAR) AS shadowed_location_f,
+       CAST(NULL AS VARCHAR) AS aspace_version_f,
+       main_title_display AS title_tsearch_stored,
+       CAST(NULL AS VARCHAR) AS full_title_tsearchf_stored,
+       format_facet AS format_f_stored,
+       CAST(NULL AS VARCHAR) AS subject_tsearchf_stored,
+       CAST(NULL AS VARCHAR) AS extent_tsearch_stored,
+       CAST(NULL AS VARCHAR) AS published_display_tsearch_stored,
+       CAST(NULL AS VARCHAR) AS author_tsearchf_stored,
+       CAST(NULL AS VARCHAR) AS note_tsearch_stored,
+       CAST(NULL AS VARCHAR) AS rs_uri_a
+FROM v3
+"""
 
     o["natural_sort_key"] = (
         f"SELECT p_partkey, {E.natural_sort_key_sql('p_name')} AS nat_key FROM part"
