@@ -21,14 +21,22 @@ get ids above the previous max (they land in tail shards, so appends touch
 only tail + explicitly modified shards); deleted ids are never reused
 (shards may go sparse — scoring tolerates holes).
 
-On Iceberg the delta-detection input would be a snapshot-diff read instead
-of the full corpus; the join below is the format-agnostic fallback and the
-dirty-shard logic is identical.
+**Snapshot-diff path** (``incremental_update_from_table``): when the corpus
+lives in a snapshot-versioned table (sources/snapshot_table.py — Iceberg
+semantics), the full-corpus join is replaced by an incremental read of ONLY
+the data files appended since the last indexed snapshot.  Cost is then
+proportional to |delta| + |dirty-shard contents| (fetched via
+manifest-pruned scan), not corpus size — the difference between rescanning
+100 TB per sync and scanning megabytes.  An overwrite snapshot breaks
+append-only incrementality (the Iceberg contract) and falls back to the
+full-diff join below.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -86,6 +94,150 @@ def detect_changes(spark: SparkSession, new_corpus: DataFrame, index_dir: str) -
         "added": added.drop(*drop),
         "deleted": deleted,
     }
+
+
+def incremental_update_from_table(
+    spark: SparkSession,
+    table,
+    index_dir: str,
+    config: Optional[IndexConfig] = None,
+    build_id: Optional[str] = None,
+) -> dict:
+    """Sync the index to a SnapshotTable's current snapshot.
+
+    - first build / config change / overwrite in range → snapshot-pinned
+      full path (full rebuild or full-diff incremental);
+    - otherwise → **snapshot-diff merge**: read only the files appended
+      since the last indexed snapshot, classify against doc_map, fetch the
+      dirty shards' surviving docs with a manifest-pruned scan, and rebuild
+      exactly the dirty shards.
+
+    The committed marker records ``corpus_snapshot_id`` so every build is
+    pinned to (and resumable against) one immutable corpus version — the
+    reference's persist-hash-after-upload discipline
+    (IndexRecordsForV4.java:116-125) applied to the input side.
+    """
+    config = config or IndexConfig()
+    storage = IndexStorage(index_dir)
+    current = table.current_snapshot_id()
+    commit = storage.read_commit()
+    last = commit.get("corpus_snapshot_id") if commit else None
+
+    def _pin(meta: dict, mode: str) -> dict:
+        storage.write_commit(
+            config, meta.get("build_id") or build_id or "sync",
+            {"input_fingerprint": f"snap-{current}",
+             "corpus_snapshot_id": current},
+        )
+        meta["mode"] = mode
+        meta["corpus_snapshot_id"] = current
+        return meta
+
+    if (
+        commit is None
+        or commit.get("config_hash") != config.config_hash()
+        or last is None
+    ):
+        corpus = table.read(spark, current)  # snapshot-pinned full build
+        meta = build_index(
+            spark, corpus, index_dir, config, build_id=build_id,
+            input_fingerprint=f"snap-{current}",
+        )
+        return _pin(meta, "full_rebuild")
+    if last == current:
+        return {"mode": "noop", "shards": [], "n_docs": 0,
+                "corpus_snapshot_id": current}
+    if table.has_overwrite_between(last, current):
+        # overwrite breaks append-only incrementality (Iceberg contract):
+        # deletions/updates may hide anywhere → full-diff join path
+        corpus = table.read(spark, current)
+        meta = incremental_update(
+            spark, corpus, index_dir, config, build_id=build_id,
+            input_fingerprint=f"snap-{current}",
+        )
+        return _pin(meta, meta.get("mode", "incremental"))
+
+    # --- append-only snapshot diff: scan ONLY the appended files ---
+    delta = table.diff(spark, last, current)
+    if "content_sha256" not in delta.columns:
+        delta = with_content_sha(delta)
+    # multiple appends may touch one identity; keep the newest (ordering by
+    # commit string is arbitrary but deterministic)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*IDENTITY).orderBy(F.desc("commit"))
+    delta = (
+        delta.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+    old = storage.read(spark, "doc_map").select(
+        *IDENTITY, F.col("doc_id").alias("_old_id"),
+        F.col("content_sha256").alias("_old_sha"),
+    )
+    # |delta| rows vs an id-only doc_map projection: the join is bounded by
+    # the delta, never the corpus bytes (AQE broadcasts the smaller side)
+    classified = delta.join(old, IDENTITY, "left")
+    modified = (
+        classified.filter(
+            F.col("_old_id").isNotNull()
+            & (F.col("content_sha256") != F.col("_old_sha"))
+        ).withColumn("doc_id", F.col("_old_id"))
+    )
+    added_src = classified.filter(F.col("_old_id").isNull())
+    max_old = old.agg(F.max("_old_id")).collect()[0][0]
+    base = (max_old if max_old is not None else -1) + 1
+    added = assign_doc_ids(added_src, base=base)
+    drop = ["_old_id", "_old_sha"]
+    changed = modified.drop(*drop).unionByName(
+        added.drop(*drop), allowMissingColumns=True
+    )
+
+    shard = lambda c: (c / F.lit(config.docs_per_shard)).cast("int")  # noqa: E731
+    dirty = changed.select(shard(F.col("doc_id")).alias("s")).distinct()
+    dirty_shards = sorted(r["s"] for r in dirty.collect())
+    if not dirty_shards:
+        return _pin({"shards": [], "n_docs": 0}, "noop_content")
+
+    # surviving docs of dirty shards whose content is NOT in the delta:
+    # manifest-pruned fetch keyed on the identity prune column
+    survivors_map = (
+        storage.read(spark, "doc_map")
+        .filter(shard(F.col("doc_id")).isin(dirty_shards))
+        .join(changed.select(*IDENTITY), IDENTITY, "left_anti")
+        .select(*IDENTITY, "doc_id")
+    )
+    sk = [r["repo"] for r in survivors_map.select("repo").distinct().collect()]
+    if sk:
+        pruned = table.read_pruned(spark, sk, current)
+        if "content_sha256" not in pruned.columns:
+            pruned = with_content_sha(pruned)
+        # same newest-commit resolution as the delta, then attach stored ids
+        pw = Window.partitionBy(*IDENTITY).orderBy(F.desc("commit"))
+        pruned = (
+            pruned.withColumn("_rn", F.row_number().over(pw))
+            .filter(F.col("_rn") == 1).drop("_rn")
+        )
+        if "doc_id" in pruned.columns:  # stored ids win over any carried ids
+            pruned = pruned.drop("doc_id")
+        survivors = pruned.join(survivors_map, IDENTITY)
+        rebuild = survivors.unionByName(changed, allowMissingColumns=True)
+    else:
+        rebuild = changed
+
+    staging = os.path.join(index_dir, "_staging", uuid.uuid4().hex[:12])
+    rebuild.write.mode("overwrite").parquet(staging)
+    rebuild = spark.read.parquet(staging)
+    try:
+        meta = build_index(
+            spark, rebuild, index_dir, config, build_id=build_id,
+            input_fingerprint=f"snap-{current}", only_shards=dirty_shards,
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        spark.catalog.refreshByPath(index_dir)
+    meta["dirty_shards"] = dirty_shards
+    return _pin(meta, "snapshot_diff")
 
 
 def incremental_update(

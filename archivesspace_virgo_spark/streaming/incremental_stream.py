@@ -65,6 +65,49 @@ def stream_corpus_into_index(
     )
 
 
+def stream_table_into_index(
+    spark: SparkSession,
+    table,
+    index_dir: str,
+    checkpoint_dir: str,
+    config: Optional[IndexConfig] = None,
+):
+    """Stream a SnapshotTable's commits into the index via snapshot diffs.
+
+    The file stream over the table's data directory is only the TRIGGER;
+    the merge itself is driven by the snapshot log
+    (``incremental_update_from_table``), so each sync scans ONLY the files
+    appended since the last indexed snapshot — never the full corpus (the
+    fix for the round-1 re-read-everything micro-batch).  Exactly-once:
+    the index commit marker records ``corpus_snapshot_id``; a replayed
+    trigger batch becomes a noop.
+    """
+    from archivesspace_virgo_spark.index.incremental import (
+        incremental_update_from_table,
+    )
+
+    cfg = config or IndexConfig()
+    schema = table.read(spark).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(f"{table.data_dir}/*")
+    )
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        incremental_update_from_table(
+            spark, table, index_dir, cfg,
+            build_id=f"stream-epoch-{epoch_id}",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "5 minutes",

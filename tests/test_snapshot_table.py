@@ -1,0 +1,152 @@
+"""SnapshotTable (Iceberg semantics on parquet) + snapshot-diff incremental
+sync tests: pinning, diff-scan file scope, manifest pruning, append/modify/
+overwrite sync == full rebuild, and the streaming trigger."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from archivesspace_virgo_spark.config import IndexConfig
+from archivesspace_virgo_spark.corpus import load_documents_as_corpus
+from archivesspace_virgo_spark.index.build import build_index
+from archivesspace_virgo_spark.index.incremental import (
+    incremental_update_from_table,
+)
+from archivesspace_virgo_spark.index.query import QueryEngine
+from archivesspace_virgo_spark.index.storage import IndexStorage
+from archivesspace_virgo_spark.sources import SnapshotTable
+
+from tests.conftest import SF_SMOKE
+
+CFG = IndexConfig(docs_per_shard=64, block_size=16)
+
+
+def _corpus(spark, lo, hi):
+    c = load_documents_as_corpus(spark, SF_SMOKE).drop("doc_id")
+    docnum = F.regexp_extract("path", "doc/(\\d+)", 1).cast("int")
+    return c.filter(docnum.between(lo, hi - 1))
+
+
+def _assert_index_equal(spark, dir_a, dir_b):
+    for table in ["doc_stats", "lexicon", "corpus_stats", "postings"]:
+        a = sorted(str(tuple(r)) for r in IndexStorage(dir_a).read(spark, table).collect())
+        b = sorted(str(tuple(r)) for r in IndexStorage(dir_b).read(spark, table).collect())
+        assert a == b, f"{table} differs: {len(a)} vs {len(b)} rows"
+
+
+def test_snapshot_pinning_and_diff_scope(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "tbl"))
+    s1 = t.append(_corpus(spark, 0, 100))
+    s2 = t.append(_corpus(spark, 100, 150))
+    s3 = t.append(_corpus(spark, 150, 200))
+
+    # pinned read: snapshot s1 is immune to later commits
+    assert t.read(spark, s1).count() == 100
+    assert t.read(spark, s3).count() == 200
+
+    # diff scans ONLY files appended in range — assert via actual scan files
+    d = t.diff(spark, s1, s3)
+    assert d.count() == 100
+    added = {
+        e["path"]
+        for v in (s2, s3)
+        for e in t.snapshot(v)["added"]
+    }
+    scanned = {f.replace("file:", "").replace("//", "/") for f in d.inputFiles()}
+    assert scanned and all(
+        any(p.endswith(os.path.basename(f)) for p in added) for f in scanned
+    )
+
+    # overwrite in range breaks incrementality (Iceberg contract)
+    s4 = t.overwrite(_corpus(spark, 0, 50))
+    assert t.has_overwrite_between(s3, s4)
+    with pytest.raises(ValueError):
+        t.diff(spark, s3, s4)
+    assert t.read(spark, s4).count() == 50
+    assert t.read(spark, s3).count() == 200  # pinned past overwrite
+
+
+def test_manifest_pruning_skips_files(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "tbl"))
+    lo = _corpus(spark, 0, 100).withColumn("repo", F.lit("repo-aaa"))
+    hi = _corpus(spark, 100, 200).withColumn("repo", F.lit("repo-zzz"))
+    t.append(lo.coalesce(1))
+    t.append(hi.coalesce(1))
+    pruned = t.read_pruned(spark, ["repo-zzz"])
+    assert pruned.count() == 100
+    assert len(pruned.inputFiles()) == 1  # the repo-aaa file was skipped
+
+
+def test_snapshot_diff_sync_equals_full(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "tbl"))
+    t.append(_corpus(spark, 0, 150))
+    idx = str(tmp_path / "idx")
+    meta = incremental_update_from_table(spark, t, idx, CFG)
+    assert meta["mode"] == "full_rebuild"
+
+    # append 30 new docs + modify 5 existing (same identity, new content)
+    mods = _corpus(spark, 10, 15).withColumn(
+        "content", F.concat(F.col("content"), F.lit(" modified token"))
+    ).withColumn("commit", F.sha2(F.concat(F.col("path"), F.lit("v2")), 256))
+    t.append(_corpus(spark, 150, 180).unionByName(mods))
+    meta = incremental_update_from_table(spark, t, idx, CFG)
+    assert meta["mode"] == "snapshot_diff"
+    assert meta["dirty_shards"]
+
+    # replaying the same snapshot is a noop (exactly-once)
+    assert incremental_update_from_table(spark, t, idx, CFG)["mode"] == "noop"
+
+    # full rebuild over the same final state with the same doc_ids
+    full_dir = str(tmp_path / "full")
+    dm = IndexStorage(idx).read(spark, "doc_map").select("doc_id", "repo", "path")
+    final = _corpus(spark, 0, 180).withColumn(
+        "content",
+        F.when(
+            F.regexp_extract("path", "doc/(\\d+)", 1).cast("int").between(10, 14),
+            F.concat(F.col("content"), F.lit(" modified token")),
+        ).otherwise(F.col("content")),
+    )
+    build_index(spark, final.join(dm, ["repo", "path"]), full_dir, CFG,
+                input_fingerprint="full")
+    _assert_index_equal(spark, idx, full_dir)
+
+    ea, eb = QueryEngine(spark, idx, CFG), QueryEngine(spark, full_dir, CFG)
+    for terms in [["spark", "window"], ["modified", "token"]]:
+        ra = [(r["doc_id"], round(r["score"], 9)) for r in ea.search(terms, k=10).collect()]
+        rb = [(r["doc_id"], round(r["score"], 9)) for r in eb.search(terms, k=10).collect()]
+        assert ra == rb, terms
+
+
+def test_overwrite_falls_back_to_full_diff(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "tbl"))
+    t.append(_corpus(spark, 0, 150))
+    idx = str(tmp_path / "idx")
+    incremental_update_from_table(spark, t, idx, CFG)
+    # overwrite: drop docs 0-9 (a deletion only a full diff can see)
+    t.overwrite(_corpus(spark, 10, 150))
+    meta = incremental_update_from_table(spark, t, idx, CFG)
+    assert meta["mode"] == "incremental"
+    dm = IndexStorage(idx).read(spark, "doc_map")
+    assert dm.count() == 140
+
+
+def test_stream_table_trigger(spark, tmp_path):
+    from archivesspace_virgo_spark.streaming.incremental_stream import (
+        stream_table_into_index,
+    )
+
+    t = SnapshotTable.create(str(tmp_path / "tbl"))
+    t.append(_corpus(spark, 0, 100))
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_table_into_index(spark, t, idx, ckpt, CFG)
+    q.awaitTermination(120)
+    assert IndexStorage(idx).read(spark, "doc_map").count() == 100
+
+    t.append(_corpus(spark, 100, 130))
+    q = stream_table_into_index(spark, t, idx, ckpt, CFG)
+    q.awaitTermination(120)
+    assert IndexStorage(idx).read(spark, "doc_map").count() == 130
+    c = IndexStorage(idx).read(spark, "doc_map")
+    assert c.select(F.max("doc_id")).collect()[0][0] == 129
