@@ -73,8 +73,14 @@ def _pack_occurrences(
     cols = [f.name for f in POSTINGS_SCHEMA.fields]
     if n == 0:
         return pd.DataFrame(columns=cols)
-    uniq_terms, codes = np.unique(terms, return_inverse=True)
-    order = np.lexsort((positions, doc_ids, codes))
+    # hash-based factorize (O(n) + sort of the UNIQUES only) — np.unique
+    # would comparison-sort every occurrence string, which measurably
+    # bounded build CPU
+    codes, uniq_terms = pd.factorize(terms, sort=True)
+    # stable lexsort on (term, doc): occurrences are generated in ascending
+    # position order per (doc, field) and a term never spans fields, so
+    # positions stay ascending within each posting without a third sort key
+    order = np.lexsort((doc_ids, codes))
     codes = codes[order]
     docs = doc_ids[order]
     dls = dls[order]
@@ -142,7 +148,7 @@ def _pack_occurrences(
     cf = np.add.reduceat(tf, t_start)
     return pd.DataFrame({
         "doc_shard": np.full(n_terms, shard, dtype=np.int32),
-        "term": uniq_terms.astype(object),
+        "term": np.asarray(uniq_terms, dtype=object),
         "n_docs": counts.astype(np.int32),
         "cf": cf.astype(np.int64),
         "doc_blob": doc_blobs,

@@ -263,7 +263,13 @@ class QueryEngine:
         ]
         avgdls = [self.field_stats[fields[t]][1] for t in live]
 
-        postings = self._postings_df().filter(F.col("term").isin(live))
+        # project pos_blob (and cf) OUT before the Arrow hand-off: scoring
+        # never reads positions, and shipping them would roughly double the
+        # per-query transfer bytes
+        postings = self._postings_df().filter(F.col("term").isin(live)).select(
+            "doc_shard", "term", "doc_blob", "tf_blob", "dl_blob",
+            "block_last_doc", "block_max_tf", "block_min_dl",
+        )
         scorer = _make_shard_scorer(
             live, idfs, avgdls, k + offset, self.config.k1, self.config.b,
             self.config.docs_per_shard, mode,
@@ -364,7 +370,9 @@ class QueryEngine:
                 "score": score[order],
             })
 
-        postings = self._postings_df().filter(F.col("term").isin(uniq))
+        postings = self._postings_df().filter(F.col("term").isin(uniq)).select(
+            "doc_shard", "term", "doc_blob", "tf_blob", "dl_blob", "pos_blob"
+        )
         partials = postings.groupBy("doc_shard").applyInPandas(
             scorer, schema="doc_id long, score double"
         )

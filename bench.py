@@ -45,6 +45,7 @@ QUERY_SUITE = [
     ("q_rare", ["vector", "customer"], "or"),
     ("q_and2", ["table", "join"], "and"),
     ("q_and3", ["table", "join", "merge"], "and"),
+    ("q_phrase", ["value", "table"], "phrase"),
 ]
 K = 10
 
@@ -134,7 +135,7 @@ def index_digest(spark, index_dir: str) -> str:
         F.bit_xor(
             F.xxhash64(
                 "doc_shard", "term", "n_docs", "cf", "doc_blob", "tf_blob",
-                "dl_blob",
+                "dl_blob", "pos_blob",
                 F.col("block_last_doc").cast("string"),
                 F.col("block_max_tf").cast("string"),
                 F.col("block_min_dl").cast("string"),
@@ -177,23 +178,38 @@ def run_build_and_queries(cpus: int, run_queries: bool = True,
             out["digest"] = index_digest(spark, index_dir)
         if run_queries:
             engine = QueryEngine(spark, index_dir, cfg)
-            # warm the scan path + python workers with a REAL postings read
+            # TRUE cold start: very first query on a fresh engine pays
+            # python-worker spawn + file listing + parquet footer reads +
+            # cache fill — reported on its own, not hidden by a warm-up
+            t_cold = time.time()
             engine.search(["table"], k=K).collect()
+            out["query_cold_first_sec"] = time.time() - t_cold
             latencies = {}
-            warm_lat = []
+            warm_lat, cold_lat = [], []
             for name, terms, mode in QUERY_SUITE:
                 runs = []
                 for _ in range(4):
                     tq = time.time()
-                    engine.search(terms, k=K, mode=mode).collect()
+                    if mode == "phrase":
+                        engine.phrase_search(terms, k=K).collect()
+                    else:
+                        engine.search(terms, k=K, mode=mode).collect()
                     runs.append(time.time() - tq)
-                # drop the cold first run: steady-state is the design point
-                # (long-lived query service), cold-start is reported separately
+                # warm = steady state of a long-lived query service;
+                # runs[0] is that term set's first touch (cache-cold path)
                 latencies[name] = min(runs[1:])
+                cold_lat.append(runs[0])
                 warm_lat.extend(runs[1:])
             out["queries"] = latencies
             out["query_p95_sec"] = statistics.quantiles(warm_lat, n=20)[18]
             out["query_mean_sec"] = statistics.mean(warm_lat)
+            # p95 over {true cold first} ∪ {per-suite first runs}: the
+            # latency a user sees before the cache is load-bearing
+            cold_all = [out["query_cold_first_sec"]] + cold_lat
+            out["query_cold_p95_sec"] = (
+                statistics.quantiles(cold_all, n=20)[18]
+                if len(cold_all) >= 2 else cold_all[0]
+            )
         return out
     finally:
         spark.stop()
@@ -254,6 +270,8 @@ def main():
         "n_docs": main_run["n_docs"],
         "build_docs_per_sec": round(main_run["docs_per_sec"], 1),
         "query_p95_sec": round(main_run.get("query_p95_sec", 0.0), 4),
+        "query_cold_p95_sec": round(main_run.get("query_cold_p95_sec", 0.0), 4),
+        "query_cold_first_sec": round(main_run.get("query_cold_first_sec", 0.0), 4),
         **extra,
     }
     print(json.dumps(result))
