@@ -491,6 +491,169 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return c.select("c_custkey", m.alias("location"))
     q["location_normalize"] = q_location_norm
 
+    def q_manifest_url(spark, sf_dir):
+        # F8 (UvaHelper.java:22-28): mirador-prefixed URLs yield the target
+        # after '='; plain URLs pass through
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        url = F.when(
+            F.col("p_partkey") % 2 == 0,
+            F.concat(F.lit("http://mirador.lib/view?manifest=https://iiif.example/"),
+                     F.col("p_partkey").cast("string")),
+        ).otherwise(
+            F.concat(F.lit("https://plain.example/"), F.col("p_partkey").cast("string"))
+        )
+        return p.select(
+            "p_partkey", E.extract_manifest_url(url).alias("manifest_url")
+        )
+    q["manifest_url"] = q_manifest_url
+
+    def q_extent_build(spark, sf_dir):
+        # F3 (ASpaceObject.java:290-298)
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        ext_type = F.regexp_replace("p_type", " ", "_")
+        summary = F.when(F.col("p_partkey") % 3 == 0, F.col("p_brand"))
+        return p.select(
+            "p_partkey",
+            E.extent_string(F.col("p_size"), ext_type, summary).alias("extent_display"),
+        )
+    q["extent_build"] = q_extent_build
+
+    def q_end_year(spark, sf_dir):
+        # F4 (ASpaceObject.java:312-316): '1912'→1912, '1912-1918'→1918,
+        # junk→NULL (total-function adaptation of the reference's throw)
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        y = F.year("o_orderdate").cast("string")
+        expr = (
+            F.when(F.col("o_orderkey") % 3 == 0, y)
+            .when(F.col("o_orderkey") % 3 == 1,
+                  F.concat(y, F.lit("-"), (F.year("o_orderdate") + 5).cast("string")))
+            .otherwise(F.concat(F.lit("circa "), y))
+        )
+        return o.select("o_orderkey", E.end_year(expr).alias("end_year"))
+    q["end_year_parse"] = q_end_year
+
+    def q_role_suffix(spark, sf_dir):
+        # F17 (avalon-solr-v3-to-v4.xsl:30-56): map-literal suffix concat
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        roles = F.array(*[F.lit(r) for r in ["cmp", "cnd", "aut", "sng", "zzz"]])
+        role = roles[(F.col("c_custkey") % 5).cast("int")]
+        return c.select(
+            "c_custkey", role.alias("role"),
+            E.role_suffix(F.col("c_name"), role).alias("display_name"),
+        )
+    q["role_suffix_map"] = q_role_suffix
+
+    def q_virgo_id(spark, sf_dir):
+        # F22 (SolrHelper.java:122-130)
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        k = F.col("p_partkey").cast("string")
+        candidates = [
+            F.concat(F.lit("VIU"), k), F.concat(F.lit("MSS "), k),
+            F.concat(F.lit("RG_"), k), F.concat(F.lit("MS_/"), k),
+            F.concat(F.lit("OTHER"), k),
+        ]
+        cid = F.array(*candidates)[(F.col("p_partkey") % 5).cast("int")]
+        return p.select(
+            "p_partkey", cid.alias("candidate_id"),
+            E.is_unique_virgo_id(cid).alias("is_virgo_id"),
+        )
+    q["virgo_id_classify"] = q_virgo_id
+
+    def q_collection_visible(spark, sf_dir):
+        # P1 (ASpaceCollection.java:45-49): visibility conjunction
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        publish = F.col("o_orderkey") % 2 == 0
+        status = F.when(F.col("o_orderkey") % 3 == 0, "completed").otherwise("pending")
+        n_cont = (F.col("o_custkey") % 4).cast("int")
+        return (
+            o.withColumn("_vis", E.collection_visible(publish, status, n_cont))
+            .filter(F.col("_vis"))
+            .select("o_orderkey")
+        )
+    q["collection_visibility"] = q_collection_visible
+
+    def q_route_split(spark, sf_dir):
+        # P5/U2 (ASpaceObject.java:182-186; IndexRecordsForV4.java:83-89):
+        # one scan, first-match route labels (the partitionBy split key)
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        return p.select(
+            "p_partkey",
+            E.route_label(
+                "p_type",
+                [
+                    (F.col("p_type").startswith("ECONOMY"), "economy"),
+                    (F.col("p_type").contains("BRASS"), "brass"),
+                ],
+                default="other",
+            ).alias("route"),
+        )
+    q["route_split"] = q_route_split
+
+    def q_postjoin_publish(spark, sf_dir):
+        # P6+P8 (publish filters on joined dims; status predicate
+        # ASpaceTopContainer.java:65): join then filter both sides'
+        # publish/status flags
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .filter((F.col("o_orderstatus") == "O")
+                    & (F.col("c_mktsegment") == "BUILDING"))
+            .select("o_orderkey", "c_custkey")
+        )
+    q["postjoin_publish_filter"] = q_postjoin_publish
+
+    def q_note_type(spark, sf_dir):
+        # P9 (ASpaceObject.java:460-463): scopecontent notes project into
+        # display AND text; other published notes into text only
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ntype = F.when(F.col("event_id") % 4 == 0, "scopecontent").otherwise(
+            F.col("event_type")
+        )
+        published = F.col("event_id") % 3 != 0
+        text = F.col("props")
+        return ev.select(
+            "event_id",
+            ntype.alias("note_type"),
+            F.when(ntype == "scopecontent", text).alias("note_display"),
+            F.when(published, text).alias("note_text"),
+        )
+    q["note_type_projection"] = q_note_type
+
+    def q_xpath_extract(spark, sf_dir):
+        # F20 (reference test-side XPath, SolrHelper.java:132-146): build a
+        # doc XML and extract fields back — a round-trip oracle
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        xml = F.concat(
+            F.lit("<r><id>"), F.col("p_partkey").cast("string"),
+            F.lit("</id><n>"), F.col("p_name"), F.lit("</n></r>"),
+        )
+        return p.select(
+            "p_partkey",
+            F.xpath_string(xml, F.lit("/r/id")).alias("extracted_id"),
+            F.xpath_string(xml, F.lit("/r/n")).alias("extracted_name"),
+        )
+    q["xpath_extract"] = q_xpath_extract
+
+    def q_barcode_coalesce(spark, sf_dir):
+        # F10/F11 (ASpaceTopContainer.java:80-92): stored barcode else
+        # derived AS:<repo>C<id> from the uri
+        s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        barcode = F.when(F.col("s_suppkey") % 2 == 0, F.col("s_name"))
+        uri = F.concat(F.lit("/repositories/3/top_containers/"),
+                       F.col("s_suppkey").cast("string"))
+        derived = F.concat(
+            F.lit("AS:"),
+            F.regexp_extract(uri, "/repositories/(\\d+)/", 1),
+            F.lit("C"),
+            F.regexp_extract(uri, "/top_containers/(\\d+)$", 1),
+        )
+        return s.select(
+            "s_suppkey",
+            E.coalesce_or_derived(barcode, derived).alias("barcode"),
+        )
+    q["barcode_coalesce"] = q_barcode_coalesce
+
     def q_union_dirty(spark, sf_dir):
         o = spark.read.parquet(f"{sf_dir}/orders.parquet")
         a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
@@ -958,6 +1121,89 @@ SELECT c_custkey,
          WHEN 'HOUSEHOLD' THEN 'Household Dept'
          ELSE 'UNKNOWN' END AS location
 FROM customer
+"""
+
+    murl = ("CASE WHEN p_partkey % 2 = 0 THEN "
+            "'http://mirador.lib/view?manifest=https://iiif.example/' || CAST(p_partkey AS VARCHAR) "
+            "ELSE 'https://plain.example/' || CAST(p_partkey AS VARCHAR) END")
+    o["manifest_url"] = (
+        f"SELECT p_partkey, {E.extract_manifest_url_sql(murl)} AS manifest_url FROM part"
+    )
+
+    ext = E.extent_string_sql(
+        "p_size", "regexp_replace(p_type, ' ', '_', 'g')",
+        "CASE WHEN p_partkey % 3 = 0 THEN p_brand END",
+    )
+    o["extent_build"] = (
+        f"SELECT p_partkey, {ext} AS extent_display FROM part"
+    )
+
+    yexpr = ("CASE WHEN o_orderkey % 3 = 0 THEN CAST(year(o_orderdate) AS VARCHAR) "
+             "WHEN o_orderkey % 3 = 1 THEN CAST(year(o_orderdate) AS VARCHAR) || '-' "
+             "|| CAST(year(o_orderdate) + 5 AS VARCHAR) "
+             "ELSE 'circa ' || CAST(year(o_orderdate) AS VARCHAR) END")
+    o["end_year_parse"] = (
+        f"SELECT o_orderkey, {E.end_year_sql(yexpr)} AS end_year FROM orders"
+    )
+
+    role = "['cmp', 'cnd', 'aut', 'sng', 'zzz'][CAST(c_custkey % 5 AS INT) + 1]"
+    o["role_suffix_map"] = f"""
+SELECT c_custkey, {role} AS role,
+       {E.role_suffix_sql('c_name', role)} AS display_name
+FROM customer
+"""
+
+    cid = ("['VIU' || k, 'MSS ' || k, 'RG_' || k, 'MS_/' || k, 'OTHER' || k]"
+           "[CAST(p_partkey % 5 AS INT) + 1]")
+    o["virgo_id_classify"] = f"""
+WITH src AS (SELECT p_partkey, CAST(p_partkey AS VARCHAR) AS k FROM part),
+lab AS (SELECT p_partkey, {cid} AS candidate_id FROM src)
+SELECT p_partkey, candidate_id,
+       {E.is_unique_virgo_id_sql('candidate_id')} AS is_virgo_id
+FROM lab
+"""
+
+    o["collection_visibility"] = """
+SELECT o_orderkey FROM orders
+WHERE (o_orderkey % 2 = 0)
+  AND (CASE WHEN o_orderkey % 3 = 0 THEN 'completed' ELSE 'pending' END) = 'completed'
+  AND CAST(o_custkey % 4 AS INT) > 0
+"""
+
+    o["route_split"] = """
+SELECT p_partkey,
+       CASE WHEN starts_with(p_type, 'ECONOMY') THEN 'economy'
+            WHEN contains(p_type, 'BRASS') THEN 'brass'
+            ELSE 'other' END AS route
+FROM part
+"""
+
+    o["postjoin_publish_filter"] = """
+SELECT o_orderkey, c_custkey
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'O' AND c_mktsegment = 'BUILDING'
+"""
+
+    o["note_type_projection"] = """
+SELECT event_id,
+       CASE WHEN event_id % 4 = 0 THEN 'scopecontent' ELSE event_type END AS note_type,
+       CASE WHEN (CASE WHEN event_id % 4 = 0 THEN 'scopecontent' ELSE event_type END)
+                 = 'scopecontent' THEN props END AS note_display,
+       CASE WHEN event_id % 3 <> 0 THEN props END AS note_text
+FROM events
+"""
+
+    o["xpath_extract"] = """
+SELECT p_partkey, CAST(p_partkey AS VARCHAR) AS extracted_id,
+       p_name AS extracted_name
+FROM part
+"""
+
+    o["barcode_coalesce"] = """
+SELECT s_suppkey,
+       coalesce(CASE WHEN s_suppkey % 2 = 0 THEN s_name END,
+                'AS:3C' || CAST(s_suppkey AS VARCHAR)) AS barcode
+FROM supplier
 """
 
     o["union_dirty_keys"] = """

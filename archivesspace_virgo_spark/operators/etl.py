@@ -161,6 +161,180 @@ def shadow_gate(shadowed: Column, skeletal: Column, enriched: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# F8 — mirador manifest URL extraction (UvaHelper.java:22-28): URLs with the
+# mirador prefix yield everything after the first '='; others pass through
+# ---------------------------------------------------------------------------
+
+MIRADOR_PREFIX = "http://mirador.lib"
+
+
+def extract_manifest_url(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c.startswith(MIRADOR_PREFIX), F.regexp_replace(c, "^[^=]*=", "")
+    ).otherwise(c)
+
+
+def extract_manifest_url_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN starts_with({expr}, '{MIRADOR_PREFIX}') "
+        f"THEN regexp_replace({expr}, '^[^=]*=', '') ELSE {expr} END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 — extent display string (ASpaceObject.java:290-298):
+# number + ' ' + extent_type.replace('_',' ') [+ ' (' + container_summary + ')']
+# ---------------------------------------------------------------------------
+
+def extent_string(number: Column, extent_type: Column,
+                  container_summary: Column) -> Column:
+    base = F.concat(number.cast("string"), F.lit(" "),
+                    F.replace(extent_type, F.lit("_"), F.lit(" ")))
+    return F.when(
+        container_summary.isNotNull(),
+        F.concat(base, F.lit(" ("), container_summary, F.lit(")")),
+    ).otherwise(base)
+
+
+def extent_string_sql(number: str, extent_type: str, summary: str) -> str:
+    base = f"CAST({number} AS VARCHAR) || ' ' || replace({extent_type}, '_', ' ')"
+    return (
+        f"CASE WHEN {summary} IS NOT NULL "
+        f"THEN {base} || ' (' || {summary} || ')' ELSE {base} END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 — end-year parse (ASpaceObject.java:312-316): '1912' -> 1912,
+# '1912-1918' -> 1918 (substring after the dash), anything else -> NULL
+# (the reference throws; total-function adaptation like F7)
+# ---------------------------------------------------------------------------
+
+def end_year(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(c.rlike("^[0-9]{4}$"), c.cast("int"))
+        .when(c.rlike("^[0-9]{4}-[0-9]{4}$"), F.substring(c, 6, 4).cast("int"))
+    )
+
+
+def end_year_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN regexp_matches({expr}, '^[0-9]{{4}}$') "
+        f"THEN CAST({expr} AS INT) "
+        f"WHEN regexp_matches({expr}, '^[0-9]{{4}}-[0-9]{{4}}$') "
+        f"THEN CAST(substr({expr}, 6, 4) AS INT) END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F17 — role-suffix concat map (avalon-solr-v3-to-v4.xsl:30-56): a display
+# name is suffixed ' (composer)', ' (conductor)', ... per its role code;
+# unknown roles pass through bare (the aut_display no-suffix row)
+# ---------------------------------------------------------------------------
+
+AVALON_ROLE_SUFFIXES = {
+    "act": " (actor)", "arr": " (arranger)", "aus": " (screenwriter)",
+    "cmp": " (composer)", "cnd": " (conductor)", "cng": " (cinematographer)",
+    "cre": " (creator)", "ctb": " (contributor)", "dst": " (distributor)",
+    "edt": " (editor)", "hst": " (host)", "itr": " (instrumentalist)",
+    "ive": " (interviewer)", "mod": " (moderator)",
+    "msd": " (musical director)", "mus": " (musician)", "nrt": " (narrator)",
+    "pan": " (panelist)", "pre": " (presenter)",
+    "prn": " (production company)", "pro": " (producer)",
+    "rcd": " (recordist)", "sng": " (singer)", "spk": " (speaker)",
+}
+
+
+def role_suffix(name: Column, role: Column) -> Column:
+    """Append the role's display suffix via a map literal (stays in codegen:
+    element_at on a create_map of literals; no UDF)."""
+    pairs = []
+    for k, v in AVALON_ROLE_SUFFIXES.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    m = F.create_map(*pairs)
+    return F.concat(name, F.coalesce(F.element_at(m, role), F.lit("")))
+
+
+def role_suffix_sql(name: str, role: str) -> str:
+    entries = ", ".join(
+        f"'{k}': '{v}'" for k, v in AVALON_ROLE_SUFFIXES.items()
+    )
+    # DuckDB map lookup yields a LIST; [1] unwraps (empty list -> NULL)
+    return (
+        f"{name} || coalesce((MAP {{{entries}}})[{role}][1], '')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F22 — Virgo-id prefix classification (SolrHelper.java:122-130): no space or
+# '/', and one of the known call-number prefixes
+# ---------------------------------------------------------------------------
+
+VIRGO_ID_PREFIXES = ("VIU", "MSS", "VACVUCN", "RG_", "MS_")
+
+
+def is_unique_virgo_id(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    clean = ~(c.contains(" ") | c.contains("/"))
+    any_prefix = None
+    for p in VIRGO_ID_PREFIXES:
+        t = c.startswith(p)
+        any_prefix = t if any_prefix is None else (any_prefix | t)
+    return clean & any_prefix
+
+
+def is_unique_virgo_id_sql(expr: str) -> str:
+    prefixes = " OR ".join(
+        f"starts_with({expr}, '{p}')" for p in VIRGO_ID_PREFIXES
+    )
+    return (
+        f"(NOT (contains({expr}, ' ') OR contains({expr}, '/'))) "
+        f"AND ({prefixes})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 — collection visibility predicate (ASpaceCollection.java:45-49):
+# publish && processing_status == 'completed' && has top containers
+# ---------------------------------------------------------------------------
+
+def collection_visible(publish: Column, processing_status: Column,
+                       n_containers: Column) -> Column:
+    return publish & (processing_status == "completed") & (n_containers > 0)
+
+
+def collection_visible_sql(publish: str, status: str, n_containers: str) -> str:
+    return f"({publish} AND {status} = 'completed' AND {n_containers} > 0)"
+
+
+# ---------------------------------------------------------------------------
+# P5/U2 — route/split one scan into per-route outputs
+# (instance-type routing ASpaceObject.java:182-186; aspace-vs-avalon output
+# partitions IndexRecordsForV4.java:83-89)
+# ---------------------------------------------------------------------------
+
+def route_label(col: Column | str, predicate_labels: list[tuple[Column, str]],
+                default: str = "other") -> Column:
+    """First-match route label for a row (the split key)."""
+    expr = None
+    for pred, label in predicate_labels:
+        expr = (
+            F.when(pred, F.lit(label)) if expr is None
+            else expr.when(pred, F.lit(label))
+        )
+    return expr.otherwise(F.lit(default))
+
+
+def write_routed(df: DataFrame, route_col: str, path: str) -> None:
+    """ONE scan, per-route output directories: partitionBy on the route
+    label (each route lands in route=<label>/; two filtered writes would
+    scan the source twice)."""
+    df.write.mode("overwrite").partitionBy(route_col).parquet(path)
+
+
+# ---------------------------------------------------------------------------
 # Table-level parity ops
 # ---------------------------------------------------------------------------
 
