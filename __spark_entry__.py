@@ -317,6 +317,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return p.select("p_partkey", E.natural_sort_key("p_name").alias("nat_key"))
     q["natural_sort_key"] = q_natural_sort
 
+    def q_natural_sort_frac(spark, sf_dir):
+        # O1 faithful variant: leading-zero runs order fractionally
+        # (StringNaturalCompare.java:57-82); labels synthesized with and
+        # without leading zeros so the branch is exercised
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        num = (F.col("p_partkey") % 50).cast("string")
+        label = F.concat(
+            F.lit("Box "),
+            F.when(F.col("p_partkey") % 4 == 0, F.lpad(num, 3, "0")).otherwise(num),
+        )
+        return p.select(
+            "p_partkey", label.alias("label"),
+            E.natural_sort_key_frac(label).alias("nat_key"),
+        )
+    q["natural_sort_fractional"] = q_natural_sort_frac
+
     def q_date_bucket(spark, sf_dir):
         # ref_year=1998 sits inside the synthetic order-date range (1995-2001)
         # so every bucket label actually occurs
@@ -997,6 +1013,16 @@ FROM v3
     o["natural_sort_key"] = (
         f"SELECT p_partkey, {E.natural_sort_key_sql('p_name')} AS nat_key FROM part"
     )
+    frac_label = ("'Box ' || (CASE WHEN p_partkey % 4 = 0 "
+                  "THEN lpad(CAST(p_partkey % 50 AS VARCHAR), 3, '0') "
+                  "ELSE CAST(p_partkey % 50 AS VARCHAR) END)")
+    o["natural_sort_fractional"] = f"""
+WITH lab AS (SELECT p_partkey, {frac_label} AS label FROM part)
+SELECT p_partkey, label,
+       {E.natural_sort_key_frac_sql('label')} AS nat_key
+FROM lab
+"""
+
     o["date_bucket"] = (
         "SELECT o_orderkey, "
         + E.date_bucket_labels_sql("year(o_orderdate)", ref_year=1998)

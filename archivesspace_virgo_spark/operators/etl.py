@@ -46,6 +46,43 @@ def natural_sort_key_sql(expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# O1 faithful variant — natural order INCLUDING the leading-zero
+# "fractional" branch (StringNaturalCompare.java:57-82, the classic
+# strnatcmp semantics: a digit run starting with '0' compares left-aligned
+# like fraction digits, so 'Box 012' < 'Box 1' < 'Box 2' < 'Box 11').
+# Key encoding per run:
+#   leading-zero digit run  -> '0' + digits      (string compare IS the
+#                              left-aligned compare; shorter prefix first)
+#   other digit run         -> '1' + lpad(d, 20) (length-then-value)
+#   text run                -> upper(text)       (case fold; sorts after
+#                              both digit classes since 'A' > '1')
+# Whitespace is skipped, as in the reference.  Output is array<string>
+# (element-wise ordering) so run boundaries can't bleed into each other.
+# Documented divergence: text runs starting with punctuation below '0'
+# (e.g. '!') sort after digit runs here, before them in the reference.
+# ---------------------------------------------------------------------------
+
+def natural_sort_key_frac(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    runs = F.regexp_extract_all(c, F.lit(r"([0-9]+|[^0-9\s]+)"), 1)
+    return F.transform(
+        runs,
+        lambda r: F.when(r.rlike("^0"), F.concat(F.lit("0"), r))
+        .when(r.rlike("^[0-9]"), F.concat(F.lit("1"), F.lpad(r, 20, "0")))
+        .otherwise(F.upper(r)),
+    )
+
+
+def natural_sort_key_frac_sql(expr: str) -> str:
+    return (
+        f"list_transform(regexp_extract_all({expr}, '([0-9]+|[^0-9\\s]+)', 1), "
+        "r -> CASE WHEN regexp_matches(r, '^0') THEN '0' || r "
+        "WHEN regexp_matches(r, '^[0-9]') THEN '1' || lpad(r, 20, '0') "
+        "ELSE upper(r) END)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # F5 — date bucketing (ASpaceObject.java:322-337): stacked "years ago"
 # facet labels.  Reference thresholds: >50 / <=50 / <=10 / <=3 / <=1.
 # A FIXED reference year keeps both engines deterministic (the reference uses
