@@ -15,8 +15,9 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-# approximate-by-design operators: driver records rows-only checks
-ROWS_ONLY = {"minhash_band_pairs", "ann_lsh_topk", "embedding_neardup_lsh"}
+# every entry — including the approximate-by-design LSH family, whose seeded
+# hashes make the approximation itself an exact contract — has a full oracle
+ROWS_ONLY: set = set()
 
 
 @pytest.fixture(scope="module")
