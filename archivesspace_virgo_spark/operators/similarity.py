@@ -278,6 +278,56 @@ def embedding_neardup_pairs_lsh(
     )
 
 
+def write_bucketed_embeddings(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> None:
+    """Materialize embeddings partitioned BY LSH BUCKET — the scale wiring
+    for ANN: a top-k probe then reads only the probed buckets' partitions
+    (partition pruning at the file-listing level), so query cost is
+    |probed buckets| / 2^n_planes of the corpus instead of a full scan."""
+    if dim is None:
+        head = embeddings.select(vec_col).head(1)
+        if not head:
+            raise ValueError("cannot infer dim from empty embeddings")
+        dim = len(head[0][0])
+    planes = deterministic_hyperplanes(dim, n_planes, seed)
+    (
+        embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    )
+
+
+def lsh_cosine_topk_bucketed(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN over a bucket-partitioned store: the bucket filter prunes at the
+    partition level (verified by a scan-scope test), then exact re-rank."""
+    planes = deterministic_hyperplanes(len(query_vec), n_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if float(np.dot(q, np.asarray(plane))) >= 0:
+            qbucket |= 1 << i
+    probes = [qbucket]
+    if probe_hamming >= 1:
+        probes += [qbucket ^ (1 << i) for i in range(n_planes)]
+    cand = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     query_vec: Sequence[float],

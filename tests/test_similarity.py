@@ -49,3 +49,31 @@ def test_neardup_exact_symmetric_ordering(spark, emb):
     res = S.embedding_neardup_pairs(emb, threshold=0.3).collect()
     for r in res:
         assert r["id_a"] < r["id_b"]
+
+
+def test_bucketed_ann_prunes_partitions(spark, emb, tmp_path):
+    """The ANN scale wiring: bucket is a PARTITION column; a probe reads
+    only the probed buckets' files (scan scope pinned via inputFiles) and
+    returns exactly what the in-memory LSH variant returns."""
+    from archivesspace_virgo_spark.operators.similarity import (
+        lsh_cosine_topk,
+        lsh_cosine_topk_bucketed,
+        write_bucketed_embeddings,
+    )
+
+    query = [float((i * 7) % 13 - 6) for i in range(64)]
+    path = str(tmp_path / "bucketed")
+    write_bucketed_embeddings(emb, path, n_planes=4)
+
+    got = lsh_cosine_topk_bucketed(
+        spark, path, query, k=5, n_planes=4, probe_hamming=1
+    )
+    want = lsh_cosine_topk(emb, query, k=5, n_planes=4, probe_hamming=1)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    # scan scope: the bucket predicate must reach the scan as a PARTITION
+    # filter (file-level pruning), not a post-scan row filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan[:2000]
