@@ -130,6 +130,43 @@ def windowed_event_counts(
     )
 
 
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    key_col: str = "content_sha256",
+    id_col: str = "doc_id",
+):
+    """Custom stateful operator (``applyInPandasWithState``): emit each
+    content hash's FIRST arrival, drop every re-arrival — the streaming
+    rendering of exact dedup (A3/U3) for an ingest firehose, where a batch
+    ``dropDuplicates`` can't see across micro-batches.
+
+    State per key: a single seen-flag row in the state store (checkpointed,
+    so dedup survives restarts).  Keys shard across executors by hash — the
+    same groupBy-on-digest scaling story as the batch operator.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def dedup(key, pdfs, state: GroupState):
+        if state.exists:
+            return  # key already emitted in an earlier batch
+        first = None
+        for pdf in pdfs:
+            if not pdf.empty:
+                first = pdf.iloc[[0]][[id_col, key_col]]
+                break
+        state.update((1,))
+        if first is not None:
+            yield first
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        dedup,
+        outputStructType=f"{id_col} long, {key_col} string",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_windowed_events_stream(
     spark: SparkSession,
     events_path: str,
