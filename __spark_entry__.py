@@ -128,6 +128,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select("doc_id", _micro(F.col("score")).alias("score_micro"))
     q["bm25_paged"] = q_bm25_paged
 
+    def q_bm25_with_fields(spark, sf_dir):
+        # Solr fl= parity: hits enriched with stored doc_map fields via a
+        # broadcast lookup join (SolrHelper.java:39-66 reads these back)
+        engine = _engine_for(spark, sf_dir)
+        res = engine.search_with_fields(TERMS_OR, k=K, fields=("repo", "lang"))
+        return res.select(
+            "doc_id", "repo", "lang", _micro(F.col("score")).alias("score_micro")
+        )
+    q["bm25_with_fields"] = q_bm25_with_fields
+
     def q_facet_search(spark, sf_dir):
         # T11/A6: facet.field over the full result set of a query
         engine = _engine_for(spark, sf_dir)
@@ -172,6 +182,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", TS.token_count("text").alias("n_tokens")
         )
     q["token_count"] = q_token_count
+
+    def q_token_count_ws(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", TS.token_count_ws("text").alias("n_tokens_ws")
+        )
+    q["token_count_ws"] = q_token_count_ws
+
+    def q_token_count_bpe(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", TS.token_count_bpe("text").alias("n_tokens_bpe")
+        )
+    q["token_count_bpe"] = q_token_count_bpe
 
     def q_lang_id(spark, sf_dir):
         return _docs(spark, sf_dir).select(
@@ -807,6 +829,15 @@ FROM scored ORDER BY _score DESC, doc_id ASC LIMIT {K}
         f"SELECT doc_id, {micro('score')} AS score_micro FROM ({paged_inner}) t"
     )
 
+    # fl= parity: bm25 hits joined to the documents table's stored fields
+    # (doc_map repo = documents.source per the corpus adapter)
+    fl_inner = bm25_oracle_sql(TERMS_OR, k=K, mode="or")
+    o["bm25_with_fields"] = f"""
+SELECT t.doc_id, d.source AS repo, d.lang,
+       {micro('t.score')} AS score_micro
+FROM ({fl_inner}) t JOIN documents d ON t.doc_id = d.doc_id
+"""
+
     terms_list = ", ".join(f"'{t}'" for t in TERMS_OR)
     o["facet_search_lang"] = f"""
 SELECT lang, count(*) AS facet_count
@@ -833,6 +864,14 @@ FROM (SELECT len({_TOKS}) AS dl FROM documents)
 
     o["token_count"] = (
         f"SELECT doc_id, {TS.token_count_sql('text')} AS n_tokens FROM documents"
+    )
+    o["token_count_ws"] = (
+        f"SELECT doc_id, {TS.token_count_ws_sql('text')} AS n_tokens_ws "
+        "FROM documents"
+    )
+    o["token_count_bpe"] = (
+        f"SELECT doc_id, {TS.token_count_bpe_sql('text')} AS n_tokens_bpe "
+        "FROM documents"
     )
     o["lang_id"] = (
         f"SELECT doc_id, {TS.lang_id_sql('text')} AS lang_guess FROM documents"

@@ -282,6 +282,26 @@ class QueryEngine:
             ordered = ordered.offset(offset)
         return ordered.limit(k)
 
+    # --- Solr fl= parity: top-k with stored display fields
+    # (the reference reads id/title/etc from every Solr response,
+    # SolrHelper.java:39-66) ---
+    def search_with_fields(self, terms: Sequence[str], k: int = 10,
+                           mode: str = "or",
+                           fields: Sequence[str] = ("repo", "path", "lang"),
+                           offset: int = 0) -> DataFrame:
+        """Top-k plus doc_map display columns.  The ≤k-row hit set is
+        BROADCAST against the column-pruned doc_map scan, so field
+        retrieval costs one map-side lookup join — no extra shuffle."""
+        hits = self.search(terms, k=k, mode=mode, offset=offset)
+        dm = self.storage.read(self.spark, "doc_map").select(
+            "doc_id", *fields
+        )
+        return (
+            dm.join(F.broadcast(hits), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", *fields, "score")
+        )
+
     # --- phrase query (T2 positions + T8; Lucene PhraseQuery surface,
     # the quoted-phrase syntax of the reference's Solr q=..., per
     # SolrHelper.java:39-80) ---

@@ -32,6 +32,41 @@ def token_count_sql(expr: str) -> str:
     )
 
 
+def token_count_ws(text_col: Column | str) -> Column:
+    """Whitespace token count (the cheap pipeline estimator)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), "\\s+"))
+    )
+
+
+def token_count_ws_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN trim({expr}) = '' THEN 0 "
+        f"ELSE len(string_split_regex(trim({expr}), '\\s+')) END"
+    )
+
+
+#: BPE-ish pre-tokenizer pattern (GPT-2 shape, lookahead-free so Java regex
+#: and RE2 agree): contraction suffixes, space-prefixed letter runs, digit
+#: runs, punctuation runs
+BPE_PATTERN = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+
+
+def token_count_bpe(text_col: Column | str) -> Column:
+    """BPE-ish token-count estimate: counts pre-tokenizer segments of the
+    lowercased text (a closer proxy for LLM token cost than whitespace)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(F.lower(c), F.lit(BPE_PATTERN))
+
+
+def token_count_bpe_sql(expr: str) -> str:
+    # DuckDB has no regexp_count; count the extracted match list.  The
+    # pattern contains a literal quote -> double it for the SQL literal.
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all(lower({expr}), '{pat}'))"
+
+
 def lang_id(text_col: Column | str) -> Column:
     """Pick the language whose stopword hit-count is highest (ties: first in
     sorted language order; 'und' when nothing matches)."""

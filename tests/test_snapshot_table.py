@@ -150,3 +150,24 @@ def test_stream_table_trigger(spark, tmp_path):
     assert IndexStorage(idx).read(spark, "doc_map").count() == 130
     c = IndexStorage(idx).read(spark, "doc_map")
     assert c.select(F.max("doc_id")).collect()[0][0] == 129
+
+
+def test_expire_snapshots(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "tbl"))
+    s1 = t.append(_corpus(spark, 0, 50).coalesce(1))
+    s2 = t.overwrite(_corpus(spark, 50, 120).coalesce(1))
+    s3 = t.append(_corpus(spark, 120, 140).coalesce(1))
+
+    def n_data_files():
+        return sum(
+            1
+            for root, _dirs, files in __import__("os").walk(t.data_dir)
+            for f in files if f.endswith(".parquet")
+        )
+
+    assert n_data_files() == 3
+    t.expire_snapshots(keep_from=s2)
+    # s1's file is unreachable from s2.. -> physically removed
+    assert n_data_files() == 2
+    assert t.read(spark, s3).count() == 90
+    assert t.read(spark, s2).count() == 70
