@@ -77,3 +77,37 @@ def test_bucketed_ann_prunes_partitions(spark, emb, tmp_path):
     import re
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "bucket" in m.group(1), plan[:2000]
+
+
+def test_ivf_full_probe_equals_exact(spark, emb, tmp_path):
+    """IVF with nprobe = n_lists is exhaustive search; with a data vector as
+    the query, the top hit must be that vector itself at any nprobe>=1
+    (its list is always the first probed)."""
+    import re
+
+    from archivesspace_virgo_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivf_train,
+        write_ivf_embeddings,
+    )
+
+    cent = ivf_train(emb, n_lists=8, n_iter=3)
+    path = str(tmp_path / "ivf")
+    write_ivf_embeddings(emb, cent, path)
+
+    row = emb.select("vec_id", "embedding").head(1)[0]
+    query = [float(x) for x in row["embedding"]]
+
+    full = ivf_topk(spark, path, cent, query, k=5, nprobe=8)
+    exact = cosine_topk(emb, query, k=5)
+    assert [tuple(r) for r in full.collect()] == [tuple(r) for r in exact.collect()]
+
+    probe1 = ivf_topk(spark, path, cent, query, k=1, nprobe=1).collect()
+    assert probe1[0]["vec_id"] == row["vec_id"]
+    assert probe1[0]["cos"] == 1.0
+
+    plan = ivf_topk(spark, path, cent, query, k=5, nprobe=2)._jdf \
+        .queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "list_id" in m.group(1), plan[:2000]
