@@ -58,7 +58,9 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def varbyte_encode_segments(values: np.ndarray, seg_starts: np.ndarray) -> list:
+def varbyte_encode_segments(
+    values: np.ndarray, seg_starts: np.ndarray, return_value_offsets: bool = False
+):
     """Encode MANY value segments in one vectorized pass; returns one bytes
     blob per segment.
 
@@ -66,19 +68,65 @@ def varbyte_encode_segments(values: np.ndarray, seg_starts: np.ndarray) -> list:
     covers values[seg_starts[i]:seg_starts[i+1]].  The bit-math runs batched
     over ALL segments (this is what removes the per-term Python loop from the
     build hot path); the only per-segment work is a memoryview slice.
+
+    With ``return_value_offsets``, also returns the GLOBAL byte offset of
+    every value (int64 array, len(values)+1 with the total as last element) —
+    callers derive per-block offsets for random-access block decode from it.
     """
     out, nbytes = _varbyte_encode_raw(values)
     seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    value_offsets = np.concatenate([[0], np.cumsum(nbytes)])
     if seg_starts.size == 0:
-        return []
-    byte_ends = np.cumsum(nbytes)
-    # byte offset where each segment begins
-    seg_byte_starts = np.zeros(seg_starts.size, dtype=np.int64)
-    nz = seg_starts > 0
-    seg_byte_starts[nz] = byte_ends[seg_starts[nz] - 1]
+        return ([], value_offsets) if return_value_offsets else []
+    seg_byte_starts = value_offsets[seg_starts]
     seg_byte_ends = np.append(seg_byte_starts[1:], out.size)
     buf = out.tobytes()
-    return [buf[a:b] for a, b in zip(seg_byte_starts, seg_byte_ends)]
+    blobs = [buf[a:b] for a, b in zip(seg_byte_starts, seg_byte_ends)]
+    return (blobs, value_offsets) if return_value_offsets else blobs
+
+
+def decode_posting_blocks(
+    doc_blob: bytes,
+    tf_blob: bytes,
+    dl_blob: bytes,
+    doc_off,
+    tf_off,
+    dl_off,
+    block_last_doc,
+    block_sel: np.ndarray,
+):
+    """Random-access decode of SELECTED blocks of one term's posting list.
+
+    ``*_off``: per-block byte offsets into the respective blobs (block i's
+    values start at offset[i]); ``block_sel``: sorted selected block indices.
+    Doc gaps chain across blocks, so block b's ids rebuild from
+    ``block_last_doc[b-1]`` as the base (block 0 from gap-0 absolute).
+    Returns (doc_ids, tfs, dls) for exactly the selected blocks' postings.
+    """
+    doc_off = np.asarray(doc_off, dtype=np.int64)
+    tf_off = np.asarray(tf_off, dtype=np.int64)
+    dl_off = np.asarray(dl_off, dtype=np.int64)
+    last = np.asarray(block_last_doc, dtype=np.int64)
+    n_blocks = doc_off.size
+    d_end = np.append(doc_off[1:], len(doc_blob))
+    t_end = np.append(tf_off[1:], len(tf_blob))
+    l_end = np.append(dl_off[1:], len(dl_blob))
+    docs_parts, tf_parts, dl_parts = [], [], []
+    for b in block_sel:
+        b = int(b)
+        gaps = varbyte_decode(doc_blob[doc_off[b]:d_end[b]]).astype(np.int64)
+        base = np.int64(0) if b == 0 else last[b - 1]
+        docs_parts.append(base + np.cumsum(gaps))
+        tf_parts.append(varbyte_decode(tf_blob[tf_off[b]:t_end[b]]).astype(np.int64))
+        dl_parts.append(varbyte_decode(dl_blob[dl_off[b]:l_end[b]]).astype(np.int64))
+    if not docs_parts:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    return (
+        np.concatenate(docs_parts),
+        np.concatenate(tf_parts),
+        np.concatenate(dl_parts),
+    )
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:

@@ -14,7 +14,8 @@ import json
 from dataclasses import asdict, dataclass, field
 
 #: bump when tokenizer / codec / layout semantics change incompatibly
-FORMAT_VERSION = 6  # v6: term positions (pos_blob) added to postings
+FORMAT_VERSION = 7  # v6: term positions; v7: per-block byte offsets
+# (random-access block decode for WAND-style skipping)
 
 
 @dataclass(frozen=True)

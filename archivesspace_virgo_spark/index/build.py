@@ -118,9 +118,15 @@ def _pack_occurrences(
     gap[1:] = post_doc[1:] - post_doc[:-1]
     gap[t_start] = post_doc[t_start]
 
-    doc_blobs = codec.varbyte_encode_segments(gap.astype(np.uint64), t_start)
-    tf_blobs = codec.varbyte_encode_segments(tf.astype(np.uint64), t_start)
-    dl_blobs = codec.varbyte_encode_segments(post_dl.astype(np.uint64), t_start)
+    doc_blobs, doc_voff = codec.varbyte_encode_segments(
+        gap.astype(np.uint64), t_start, return_value_offsets=True
+    )
+    tf_blobs, tf_voff = codec.varbyte_encode_segments(
+        tf.astype(np.uint64), t_start, return_value_offsets=True
+    )
+    dl_blobs, dl_voff = codec.varbyte_encode_segments(
+        post_dl.astype(np.uint64), t_start, return_value_offsets=True
+    )
     pos_blobs = codec.varbyte_encode_segments(
         pos_d.astype(np.uint64), p_start[t_start]
     )
@@ -139,10 +145,18 @@ def _pack_occurrences(
     b_maxtf = np.maximum.reduceat(tf, block_start)
     b_mindl = np.minimum.reduceat(post_dl, block_start)
     b_last = post_doc[block_end - 1]
+    # per-block byte offsets into each blob, RELATIVE to the term's segment
+    # start — the random-access handles for per-block (WAND-style) decode
+    b_doc_off = doc_voff[block_start] - doc_voff[t_start][block_term]
+    b_tf_off = tf_voff[block_start] - tf_voff[t_start][block_term]
+    b_dl_off = dl_voff[block_start] - dl_voff[t_start][block_term]
     nb_bounds = np.cumsum(nb)[:-1]
     b_last_per = np.split(b_last, nb_bounds)
     b_maxtf_per = np.split(b_maxtf, nb_bounds)
     b_mindl_per = np.split(b_mindl, nb_bounds)
+    b_doc_off_per = np.split(b_doc_off, nb_bounds)
+    b_tf_off_per = np.split(b_tf_off, nb_bounds)
+    b_dl_off_per = np.split(b_dl_off, nb_bounds)
 
     # per-term cf (sum of tfs) via reduceat over postings
     cf = np.add.reduceat(tf, t_start)
@@ -158,6 +172,9 @@ def _pack_occurrences(
         "block_last_doc": [b.tolist() for b in b_last_per],
         "block_max_tf": [b.tolist() for b in b_maxtf_per],
         "block_min_dl": [b.tolist() for b in b_mindl_per],
+        "block_doc_off": [b.tolist() for b in b_doc_off_per],
+        "block_tf_off": [b.tolist() for b in b_tf_off_per],
+        "block_dl_off": [b.tolist() for b in b_dl_off_per],
     })
 
 

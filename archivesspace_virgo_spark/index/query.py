@@ -106,15 +106,37 @@ def _make_shard_scorer(
         for i, t in order_by_ub:
             row = by_term[t]
             prune = mode == "or" and total_rem < theta
-            doc_ids, tfs, dls = codec.decode_postings(
-                row.doc_blob, row.tf_blob, row.dl_blob
-            )
-            local = doc_ids.astype(np.int64) - base
-            tfs = tfs.astype(np.float64)
-            dls = dls.astype(np.float64)
             if prune:
+                # WAND-style block skipping: a non-essential term can only
+                # change the scores of docs already seen under an essential
+                # term — decode ONLY the blocks whose doc range intersects
+                # the candidate set (random access via per-block offsets)
+                cand = np.flatnonzero(seen > 0)
+                cand_docs = cand + base
+                last = np.asarray(row.block_last_doc, dtype=np.int64)
+                lo = np.empty_like(last)
+                lo[0] = -1
+                lo[1:] = last[:-1]
+                left = np.searchsorted(cand_docs, lo + 1, side="left")
+                right = np.searchsorted(cand_docs, last, side="right")
+                sel = np.flatnonzero(right > left)
+                doc_ids, tfs, dls = codec.decode_posting_blocks(
+                    row.doc_blob, row.tf_blob, row.dl_blob,
+                    row.block_doc_off, row.block_tf_off, row.block_dl_off,
+                    last, sel,
+                )
+                local = doc_ids.astype(np.int64) - base
+                tfs = tfs.astype(np.float64)
+                dls = dls.astype(np.float64)
                 mask = seen[local] > 0  # untouched docs can't reach theta
                 local, tfs, dls = local[mask], tfs[mask], dls[mask]
+            else:
+                doc_ids, tfs, dls = codec.decode_postings(
+                    row.doc_blob, row.tf_blob, row.dl_blob
+                )
+                local = doc_ids.astype(np.int64) - base
+                tfs = tfs.astype(np.float64)
+                dls = dls.astype(np.float64)
             contrib = idfs[i] * tfs / (tfs + k1 * (1.0 - b + b * dls / avgdls[i]))
             np.add.at(scores, local, contrib)
             np.add.at(seen, local, 1)
@@ -269,6 +291,7 @@ class QueryEngine:
         postings = self._postings_df().filter(F.col("term").isin(live)).select(
             "doc_shard", "term", "doc_blob", "tf_blob", "dl_blob",
             "block_last_doc", "block_max_tf", "block_min_dl",
+            "block_doc_off", "block_tf_off", "block_dl_off",
         )
         scorer = _make_shard_scorer(
             live, idfs, avgdls, k + offset, self.config.k1, self.config.b,

@@ -55,6 +55,11 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("block_last_doc", T.ArrayType(T.LongType()), False),
         T.StructField("block_max_tf", T.ArrayType(T.LongType()), False),
         T.StructField("block_min_dl", T.ArrayType(T.LongType()), False),
+        # per-block byte offsets (relative to the term's blob) — random-
+        # access handles for block-skipping decode (WAND-style)
+        T.StructField("block_doc_off", T.ArrayType(T.LongType()), False),
+        T.StructField("block_tf_off", T.ArrayType(T.LongType()), False),
+        T.StructField("block_dl_off", T.ArrayType(T.LongType()), False),
     ]
 )
 

@@ -62,3 +62,32 @@ def test_empty_postings():
     )
     ids, tfs, dls = codec.decode_postings(d, t, l)
     assert ids.size == 0 and tfs.size == 0 and dls.size == 0 and len(bl) == 0
+
+
+def test_block_random_access_decode():
+    """decode_posting_blocks on any block subset == the matching slice of
+    the full decode (format v7 per-block byte offsets)."""
+    rng = np.random.default_rng(11)
+    for n, bs in [(1, 16), (40, 16), (128, 16), (301, 64)]:
+        doc_ids = np.sort(rng.choice(10**6, size=n, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 50, size=n).astype(np.uint64)
+        dls = rng.integers(1, 5000, size=n).astype(np.uint64)
+        gaps = codec.delta_encode(doc_ids)
+        starts = np.array([0], dtype=np.int64)
+        (doc_blob,), doc_voff = codec.varbyte_encode_segments(gaps, starts, True)
+        (tf_blob,), tf_voff = codec.varbyte_encode_segments(tfs, starts, True)
+        (dl_blob,), dl_voff = codec.varbyte_encode_segments(dls, starts, True)
+        n_blocks = (n + bs - 1) // bs
+        bstart = np.arange(n_blocks) * bs
+        bend = np.minimum(bstart + bs, n)
+        b_last = doc_ids[bend - 1]
+        d_off, t_off, l_off = doc_voff[bstart], tf_voff[bstart], dl_voff[bstart]
+        # every subset shape: single block, stride, all
+        for sel in [np.array([0]), np.arange(0, n_blocks, 2), np.arange(n_blocks)]:
+            got_d, got_t, got_l = codec.decode_posting_blocks(
+                doc_blob, tf_blob, dl_blob, d_off, t_off, l_off, b_last, sel
+            )
+            idx = np.concatenate([np.arange(bstart[b], bend[b]) for b in sel])
+            assert (got_d == doc_ids[idx]).all()
+            assert (got_t == tfs[idx].astype(np.int64)).all()
+            assert (got_l == dls[idx].astype(np.int64)).all()

@@ -108,3 +108,58 @@ def test_shard_task_balance(built):
     )
     ns = np.array([r["n"] for r in per_shard], dtype=float)
     assert ns.max() / ns.mean() < 1.5  # no shard dominates
+
+
+def test_block_skipping_activates_and_stays_exact(spark, tmp_path, monkeypatch):
+    """Force the MaxScore prune branch (rare high-idf term first, weak hot
+    terms after) and assert the per-block random-access decode actually runs
+    — in-process, by driving the shard scorer kernel directly — while the
+    ranked result stays identical to the brute-force oracle."""
+    import archivesspace_virgo_spark.codec as codec_mod
+    from archivesspace_virgo_spark.config import IndexConfig
+    from archivesspace_virgo_spark.corpus import load_documents_as_corpus
+    from archivesspace_virgo_spark.index.build import build_index
+    from archivesspace_virgo_spark.index.query import (
+        QueryEngine,
+        _make_shard_scorer,
+        lucene_idf,
+    )
+    from archivesspace_virgo_spark.oracle import build_oracle_index, oracle_search
+
+    cfg = IndexConfig(docs_per_shard=4096, block_size=16)  # one shard
+    d = str(tmp_path / "idx")
+    corpus = load_documents_as_corpus(spark, "/root/testdata/sf0.01")
+    build_index(spark, corpus, d, cfg)
+    engine = QueryEngine(spark, d, cfg)
+
+    terms = sorted(["customer", "a", "the"])  # rare + two very hot terms
+    k = 2
+    stats = engine.term_stats(terms)
+    assert set(stats) == set(terms)
+    idfs = [lucene_idf(engine.n_docs, stats[t][0]) for t in terms]
+
+    calls = {"n": 0}
+    orig = codec_mod.decode_posting_blocks
+
+    def counting(*a):
+        calls["n"] += 1
+        return orig(*a)
+
+    monkeypatch.setattr(codec_mod, "decode_posting_blocks", counting)
+    pdf = (
+        engine._postings_df()
+        .filter(F.col("term").isin(terms))
+        .toPandas()
+    )
+    scorer = _make_shard_scorer(
+        terms, idfs, [engine.avgdl] * len(terms), k,
+        cfg.k1, cfg.b, cfg.docs_per_shard, "or",
+    )
+    out = scorer(pdf).sort_values(["score", "doc_id"], ascending=[False, True])
+    assert calls["n"] > 0, "prune branch never used block decode"
+
+    docs = [(r["doc_id"], r["content"])
+            for r in corpus.select("doc_id", "content").collect()]
+    exp = oracle_search(build_oracle_index(docs), terms, k=k)
+    got = [(int(r.doc_id), round(float(r.score), 6)) for _, r in out.head(k).iterrows()]
+    assert got == [(d_, round(s, 6)) for d_, s in exp]
