@@ -199,6 +199,12 @@ class QueryEngine:
         self._cache = cache
         self._postings = None
         self._lexicon = None
+        #: driver-side (df, cf) cache — absent terms cached as None so a
+        #: repeated miss never re-queries.  Every query otherwise pays a
+        #: separate lexicon job BEFORE the scoring job; a long-lived query
+        #: service's vocabulary is Zipfian, so this halves steady-state
+        #: job count.  Bounded: one small tuple per distinct queried term.
+        self._term_cache: dict = {}
         commit = self.storage.read_commit()
         if commit is None:
             raise FileNotFoundError(f"no committed index at {index_dir}")
@@ -253,12 +259,22 @@ class QueryEngine:
             if df is not None:
                 df.unpersist()
         self._postings = self._lexicon = None
+        self._term_cache.clear()
 
     # --- term stats (T4) ---
     def term_stats(self, terms: Sequence[str]) -> dict:
-        lex = self._lexicon_df()
-        rows = lex.filter(F.col("term").isin(list(set(terms)))).collect()
-        return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+        missing = [t for t in set(terms) if t not in self._term_cache]
+        if missing:
+            lex = self._lexicon_df()
+            rows = lex.filter(F.col("term").isin(missing)).collect()
+            found = {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+            for t in missing:
+                self._term_cache[t] = found.get(t)  # None = known-absent
+        return {
+            t: self._term_cache[t]
+            for t in set(terms)
+            if self._term_cache[t] is not None
+        }
 
     # --- the headline operator: BM25 top-k (T6/T7/T8) ---
     def search(self, terms: Sequence[str], k: int = 10, mode: str = "or",
