@@ -1,0 +1,142 @@
+"""Operational CLI — the reference's command-line entry-point surface
+(IndexRecords.java / IndexRecordsForV4.java main methods) re-expressed for
+this engine.  Built for ``spark-submit --py-files pkg.zip -m`` or plain
+``python -m archivesspace_virgo_spark`` on a gateway host:
+
+    build   --corpus DIR|--table DIR --index DIR [--fields a,b] [--validate]
+    sync    --table DIR --index DIR            (snapshot-diff incremental)
+    query   --index DIR --terms t1,t2 [--mode or|and] [-k N] [--offset N]
+    phrase  --index DIR --phrase "exact phrase" [-k N]
+    facet   --index DIR --terms t1,t2 --field lang
+
+Results print as TSV to stdout; exit code is 0 on success (the reference
+exits nonzero on any record error — ``build --validate`` mirrors that by
+failing when rows were quarantined).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _session():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName("archivesspace-virgo-spark")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def _print_df(df) -> None:
+    cols = df.columns
+    print("\t".join(cols))
+    for r in df.collect():
+        print("\t".join("" if r[c] is None else str(r[c]) for c in cols))
+
+
+def main(argv=None) -> int:
+    from archivesspace_virgo_spark.config import IndexConfig
+
+    p = argparse.ArgumentParser(prog="archivesspace_virgo_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    src = b.add_mutually_exclusive_group(required=True)
+    src.add_argument("--corpus", help="parquet dir in input_hint shape")
+    src.add_argument("--table", help="SnapshotTable dir (snapshot-pinned build)")
+    b.add_argument("--index", required=True)
+    b.add_argument("--fields", default="content")
+    b.add_argument("--docs-per-shard", type=int, default=4096)
+    b.add_argument("--validate", action="store_true")
+
+    s = sub.add_parser("sync")
+    s.add_argument("--table", required=True)
+    s.add_argument("--index", required=True)
+    s.add_argument("--fields", default="content")
+    s.add_argument("--docs-per-shard", type=int, default=4096)
+
+    for name in ("query", "phrase", "facet"):
+        q = sub.add_parser(name)
+        q.add_argument("--index", required=True)
+        q.add_argument("--fields", default="content")
+        q.add_argument("--docs-per-shard", type=int, default=4096)
+        q.add_argument("-k", type=int, default=10)
+        if name == "query":
+            q.add_argument("--terms", required=True)
+            q.add_argument("--mode", default="or", choices=["or", "and"])
+            q.add_argument("--offset", type=int, default=0)
+        elif name == "phrase":
+            q.add_argument("--phrase", required=True)
+        else:
+            q.add_argument("--terms", required=True)
+            q.add_argument("--field", required=True)
+
+    a = p.parse_args(argv)
+    cfg = IndexConfig(
+        docs_per_shard=a.docs_per_shard,
+        fields=tuple(a.fields.split(",")),
+    )
+    spark = _session()
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if a.cmd == "build":
+            from archivesspace_virgo_spark.index.build import build_index
+            from archivesspace_virgo_spark.index.storage import IndexStorage
+
+            if a.table:
+                from archivesspace_virgo_spark.index.incremental import (
+                    incremental_update_from_table,
+                )
+                from archivesspace_virgo_spark.sources import SnapshotTable
+
+                meta = incremental_update_from_table(
+                    spark, SnapshotTable(a.table), a.index, cfg
+                )
+            else:
+                corpus = spark.read.parquet(a.corpus)
+                meta = build_index(
+                    spark, corpus, a.index, cfg, validate=a.validate
+                )
+            print(meta)
+            if a.validate:
+                import os
+
+                st = IndexStorage(a.index)
+                if os.path.exists(st.path("_errors")):
+                    n_err = st.read(spark, "_errors").count()
+                    if n_err:
+                        print(f"{n_err} rows quarantined", file=sys.stderr)
+                        return 1
+            return 0
+        if a.cmd == "sync":
+            from archivesspace_virgo_spark.index.incremental import (
+                incremental_update_from_table,
+            )
+            from archivesspace_virgo_spark.sources import SnapshotTable
+
+            print(incremental_update_from_table(
+                spark, SnapshotTable(a.table), a.index, cfg
+            ))
+            return 0
+
+        from archivesspace_virgo_spark.index.query import QueryEngine
+
+        engine = QueryEngine(spark, a.index, cfg)
+        if a.cmd == "query":
+            _print_df(engine.search(
+                a.terms.split(","), k=a.k, mode=a.mode, offset=a.offset
+            ))
+        elif a.cmd == "phrase":
+            _print_df(engine.phrase_search(a.phrase, k=a.k))
+        else:
+            _print_df(engine.facet_search(a.terms.split(","), a.field))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
