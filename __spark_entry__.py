@@ -177,41 +177,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_lang"] = q_facet_lang
 
     # --- text analysis (training-data pipeline) ---
-    def q_token_count(spark, sf_dir):
+    # consolidated multi-column entries (one driver row each) so every
+    # operator fits inside the driver's evaluated-entry budget; each column
+    # is still a distinct SURVEY/pipeline operator with its own SQL twin
+    def q_token_counts(spark, sf_dir):
+        # canonical-tokenizer, whitespace, and BPE-ish token counts in one
+        # scan (three independent counting operators)
         return _docs(spark, sf_dir).select(
-            "doc_id", TS.token_count("text").alias("n_tokens")
+            "doc_id",
+            TS.token_count("text").alias("n_tokens"),
+            TS.token_count_ws("text").alias("n_tokens_ws"),
+            TS.token_count_bpe("text").alias("n_tokens_bpe"),
         )
-    q["token_count"] = q_token_count
+    q["token_counts"] = q_token_counts
 
-    def q_token_count_ws(spark, sf_dir):
+    def q_text_quality_stats(spark, sf_dir):
+        # language-ID heuristic + quality score + rolling-hash fingerprint
+        # (F18/md5 change detection) in one scan
         return _docs(spark, sf_dir).select(
-            "doc_id", TS.token_count_ws("text").alias("n_tokens_ws")
+            "doc_id",
+            TS.lang_id("text").alias("lang_guess"),
+            _micro(TS.quality_score("text")).alias("quality_micro"),
+            TS.fingerprint("text").alias("fp"),
         )
-    q["token_count_ws"] = q_token_count_ws
-
-    def q_token_count_bpe(spark, sf_dir):
-        return _docs(spark, sf_dir).select(
-            "doc_id", TS.token_count_bpe("text").alias("n_tokens_bpe")
-        )
-    q["token_count_bpe"] = q_token_count_bpe
-
-    def q_lang_id(spark, sf_dir):
-        return _docs(spark, sf_dir).select(
-            "doc_id", TS.lang_id("text").alias("lang_guess")
-        )
-    q["lang_id"] = q_lang_id
-
-    def q_quality(spark, sf_dir):
-        return _docs(spark, sf_dir).select(
-            "doc_id", _micro(TS.quality_score("text")).alias("quality_micro")
-        )
-    q["quality_score"] = q_quality
-
-    def q_fingerprint(spark, sf_dir):
-        return _docs(spark, sf_dir).select(
-            "doc_id", TS.fingerprint("text").alias("fp")
-        )
-    q["fingerprint"] = q_fingerprint
+    q["text_quality_stats"] = q_text_quality_stats
 
     # --- dedup family ---
     def q_dedup_exact(spark, sf_dir):
@@ -264,6 +253,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = S.lsh_cosine_topk(emb, ANN_QUERY, k=K, n_planes=8, probe_hamming=1)
         return res.select("vec_id", _micro(F.col("cos")).alias("cos_micro"))
     q["ann_lsh_topk"] = q_ann_lsh
+
+    def q_ivf_ann(spark, sf_dir):
+        # IVF ANN through the REAL store path: embeddings materialized
+        # partitioned by list_id (write_ivf_embeddings), probe reads only
+        # the nprobe nearest lists' partitions, exact cosine re-rank.
+        # Centroids are the seeded deterministic init (the k-means n_iter=0
+        # point) so the SQL twin can inline them as literals; the Lloyd
+        # training loop itself is pytest-verified (full-probe == exact).
+        import numpy as np
+        cent = np.asarray(S.deterministic_hyperplanes(64, 8, seed=21))
+        key = ("ivf", sf_dir)
+        if key not in _ENGINE_CACHE:
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            store = tempfile.mkdtemp(prefix="avs_ivf_store_")
+            S.write_ivf_embeddings(emb, cent, store)
+            _ENGINE_CACHE[key] = store
+        res = S.ivf_topk(spark, _ENGINE_CACHE[key], cent, ANN_QUERY, k=K, nprobe=2)
+        return res.select("vec_id", _micro(F.col("cos")).alias("cos_micro"))
+    q["ivf_ann_topk"] = q_ivf_ann
 
     def q_neardup_exact(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -331,7 +339,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit('{"location": "stacks"}').alias("special_collections_holding_display"),
             F.col("o_orderstatus").alias("source_facet"),
         )
-        return schema_migrate_v3_to_v4(v3, record_date="2026-01-01T00:00:00Z")
+        out = schema_migrate_v3_to_v4(v3, record_date="2026-01-01T00:00:00Z")
+        # driver wire format: the two multivalued availability columns are
+        # scalarized (','-join) — the operator itself keeps array semantics
+        # (golden-tested in tests/test_migrate.py); the driver canonicalizer
+        # cannot sort list-typed cells
+        return out.withColumn(
+            "uva_availability_f_stored",
+            F.array_join("uva_availability_f_stored", ","),
+        ).withColumn(
+            "anon_availability_f_stored",
+            F.array_join("anon_availability_f_stored", ","),
+        )
     q["schema_migrate_v4"] = q_schema_migrate
 
     def q_natural_sort(spark, sf_dir):
@@ -349,75 +368,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("Box "),
             F.when(F.col("p_partkey") % 4 == 0, F.lpad(num, 3, "0")).otherwise(num),
         )
+        # driver wire format: the array<string> run key is joined with the
+        # unit separator (chr(31) < '0' < every key byte), which preserves
+        # element-wise ordering exactly; array semantics + ordering are
+        # hypothesis-tested vs the strnatcmp comparator in
+        # tests/test_natural_order.py
         return p.select(
             "p_partkey", label.alias("label"),
-            E.natural_sort_key_frac(label).alias("nat_key"),
+            F.array_join(E.natural_sort_key_frac(label), "\x1f").alias("nat_key"),
         )
     q["natural_sort_fractional"] = q_natural_sort_frac
 
-    def q_date_bucket(spark, sf_dir):
-        # ref_year=1998 sits inside the synthetic order-date range (1995-2001)
-        # so every bucket label actually occurs
+    def q_scalar_etl_orders(spark, sf_dir):
+        # consolidated per-orderkey scalar operators (one driver row, five
+        # SURVEY ops, each its own column):
+        #   age_buckets    — F5 date bucketing (ref_year=1998 sits inside the
+        #                    synthetic 1995-2001 range so every label occurs)
+        #   joined_id      — F2/F6/F12 null-skipping concat_ws id build
+        #   end_year       — F4 end-year regex parse ('1912'/'1912-1918'/junk)
+        #   published_date — F15 year -> ISO timestamp
+        #   doc            — P4 shadow gate (status F rows emit the skeletal
+        #                    projection, ASpaceObject.java:256-258)
         o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-        return o.select(
-            "o_orderkey",
-            E.date_bucket_labels(F.year("o_orderdate"), ref_year=1998).alias("age_buckets"),
+        y = F.year("o_orderdate").cast("string")
+        year_expr = (
+            F.when(F.col("o_orderkey") % 3 == 0, y)
+            .when(F.col("o_orderkey") % 3 == 1,
+                  F.concat(y, F.lit("-"), (F.year("o_orderdate") + 5).cast("string")))
+            .otherwise(F.concat(F.lit("circa "), y))
         )
-    q["date_bucket"] = q_date_bucket
-
-    def q_normalize_id(spark, sf_dir):
-        p = spark.read.parquet(f"{sf_dir}/part.parquet")
-        return p.select(
-            "p_partkey", E.normalize_id("p_type").alias("norm_id")
-        )
-    q["normalize_id"] = q_normalize_id
-
-    def q_concat_ws(spark, sf_dir):
-        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-        return o.select(
-            "o_orderkey",
-            F.concat_ws(
-                "-",
-                F.col("o_orderstatus"),
-                F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")),
-                F.col("o_custkey").cast("string"),
-            ).alias("joined_id"),
-        )
-    q["concat_ws_id"] = q_concat_ws
-
-    def q_nonfiling(spark, sf_dir):
-        p = spark.read.parquet(f"{sf_dir}/part.parquet")
-        t = F.concat(F.lit("The "), F.col("p_name"))
-        title = F.when(F.col("p_partkey") % 3 == 0, t).otherwise(F.col("p_name"))
-        return p.select(
-            "p_partkey", E.nonfiling_offset(title).alias("nonfiling"),
-        )
-    q["nonfiling_sort_offset"] = q_nonfiling
-
-    def q_thumbnail(spark, sf_dir):
-        p = spark.read.parquet(f"{sf_dir}/part.parquet")
-        url = F.concat(
-            F.lit("https://img.example/"),
-            F.regexp_replace("p_name", " ", "-"),
-            F.lit("/full/max/0/default.jpg"),
-        )
-        return p.select(
-            "p_partkey", E.thumbnail_resize(url).alias("thumb_url"),
-        )
-    q["thumbnail_rewrite"] = q_thumbnail
-
-    def q_year_ts(spark, sf_dir):
-        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-        return o.select(
-            "o_orderkey",
-            E.year_to_timestamp(F.year("o_orderdate")).alias("published_date"),
-        )
-    q["year_to_timestamp"] = q_year_ts
-
-    def q_shadow_gate(spark, sf_dir):
-        # P4: shadowed rows (status F) emit skeletal projection, visible rows
-        # the enriched one (ASpaceObject.java:256-258)
-        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
         skeletal = F.concat_ws("|", F.col("o_orderkey").cast("string"))
         enriched = F.concat_ws(
             "|", F.col("o_orderkey").cast("string"), F.col("o_orderpriority"),
@@ -425,10 +404,125 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return o.select(
             "o_orderkey",
+            E.date_bucket_labels(F.year("o_orderdate"), ref_year=1998).alias("age_buckets"),
+            F.concat_ws(
+                "-",
+                F.col("o_orderstatus"),
+                F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")),
+                F.col("o_custkey").cast("string"),
+            ).alias("joined_id"),
+            E.end_year(year_expr).alias("end_year"),
+            E.year_to_timestamp(F.year("o_orderdate")).alias("published_date"),
             E.shadow_gate(F.col("o_orderstatus") == "F", skeletal, enriched)
             .alias("doc"),
         )
-    q["shadow_gate_projection"] = q_shadow_gate
+    q["scalar_etl_orders"] = q_scalar_etl_orders
+
+    def q_scalar_etl_part(spark, sf_dir):
+        # consolidated per-partkey scalar operators (one driver row, ten
+        # SURVEY ops, each its own column):
+        #   norm_id                       — F1 id normalize
+        #   translated                    — F13 XSLT translate
+        #   has_green                     — P12 field-value membership
+        #   manifest_url                  — F8 mirador URL extraction
+        #   thumb_url                     — F9 thumbnail regex rewrite
+        #   extracted_id, extracted_name  — F20 XPath extraction round-trip
+        #   route                         — P5/U2 first-match route label
+        #   candidate_id, is_virgo_id     — F22 prefix classification
+        #   nonfiling                     — O5 non-filing sort offset
+        #   extent_display                — F3 extent string build
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        k = F.col("p_partkey").cast("string")
+        murl = F.when(
+            F.col("p_partkey") % 2 == 0,
+            F.concat(F.lit("http://mirador.lib/view?manifest=https://iiif.example/"), k),
+        ).otherwise(F.concat(F.lit("https://plain.example/"), k))
+        thumb_src = F.concat(
+            F.lit("https://img.example/"),
+            F.regexp_replace("p_name", " ", "-"),
+            F.lit("/full/max/0/default.jpg"),
+        )
+        xml = F.concat(
+            F.lit("<r><id>"), k, F.lit("</id><n>"), F.col("p_name"), F.lit("</n></r>"),
+        )
+        candidates = [
+            F.concat(F.lit("VIU"), k), F.concat(F.lit("MSS "), k),
+            F.concat(F.lit("RG_"), k), F.concat(F.lit("MS_/"), k),
+            F.concat(F.lit("OTHER"), k),
+        ]
+        cid = F.array(*candidates)[(F.col("p_partkey") % 5).cast("int")]
+        the_title = F.concat(F.lit("The "), F.col("p_name"))
+        title = F.when(F.col("p_partkey") % 3 == 0, the_title).otherwise(F.col("p_name"))
+        ext_type = F.regexp_replace("p_type", " ", "_")
+        summary = F.when(F.col("p_partkey") % 3 == 0, F.col("p_brand"))
+        return p.select(
+            "p_partkey",
+            E.normalize_id("p_type").alias("norm_id"),
+            F.translate("p_name", "ms ", "MS_").alias("translated"),
+            F.array_contains(F.split(F.col("p_name"), " "), "green").alias("has_green"),
+            E.extract_manifest_url(murl).alias("manifest_url"),
+            E.thumbnail_resize(thumb_src).alias("thumb_url"),
+            F.xpath_string(xml, F.lit("/r/id")).alias("extracted_id"),
+            F.xpath_string(xml, F.lit("/r/n")).alias("extracted_name"),
+            E.route_label(
+                "p_type",
+                [
+                    (F.col("p_type").startswith("ECONOMY"), "economy"),
+                    (F.col("p_type").contains("BRASS"), "brass"),
+                ],
+                default="other",
+            ).alias("route"),
+            cid.alias("candidate_id"),
+            E.is_unique_virgo_id(cid).alias("is_virgo_id"),
+            E.nonfiling_offset(title).alias("nonfiling"),
+            E.extent_string(F.col("p_size"), ext_type, summary).alias("extent_display"),
+        )
+    q["scalar_etl_part"] = q_scalar_etl_part
+
+    def q_scalar_etl_customer(spark, sf_dir):
+        # consolidated per-custkey scalar operators (one driver row):
+        #   cust_num, id_valid      — F21/P10 regex-validated id projection
+        #   role, display_name      — F17 role-suffix concat map
+        #   location                — F7 exact-match location case map
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        roles = F.array(*[F.lit(r) for r in ["cmp", "cnd", "aut", "sng", "zzz"]])
+        role = roles[(F.col("c_custkey") % 5).cast("int")]
+        loc = (
+            F.when(F.col("c_mktsegment") == "BUILDING", "Building Dept")
+            .when(F.col("c_mktsegment") == "AUTOMOBILE", "Auto Dept")
+            .when(F.col("c_mktsegment") == "MACHINERY", "Machinery Dept")
+            .when(F.col("c_mktsegment") == "HOUSEHOLD", "Household Dept")
+            .otherwise("UNKNOWN")
+        )
+        return c.select(
+            "c_custkey",
+            F.regexp_extract("c_name", "Customer#(\\d+)", 1).cast("long").alias("cust_num"),
+            F.col("c_name").rlike("^Customer#\\d{9}$").alias("id_valid"),
+            role.alias("role"),
+            E.role_suffix(F.col("c_name"), role).alias("display_name"),
+            loc.alias("location"),
+        )
+    q["scalar_etl_customer"] = q_scalar_etl_customer
+
+    def q_scalar_etl_events(spark, sf_dir):
+        # consolidated per-event scalar operators (one driver row):
+        #   prop_k                            — F19 dynamic JSON field access
+        #   note_type, note_display, note_text — P9 note-type conditional
+        #                                        projection
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ntype = F.when(F.col("event_id") % 4 == 0, "scopecontent").otherwise(
+            F.col("event_type")
+        )
+        published = F.col("event_id") % 3 != 0
+        text = F.col("props")
+        return ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+            ntype.alias("note_type"),
+            F.when(ntype == "scopecontent", text).alias("note_display"),
+            F.when(published, text).alias("note_text"),
+        )
+    q["scalar_etl_events"] = q_scalar_etl_events
 
     def q_collect_json(spark, sf_dir):
         s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
@@ -502,6 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_topn_per_group(spark, sf_dir):
         # O2: bounded fan-out guard (<=5 digital objects, ASpaceObject.java:409)
+        # + A5 first-value-per-group (the rn=1 row carries top_price_micro,
+        # the sortDateSet/first-manifest semantics, ASpaceObject.java:303-321)
         from pyspark.sql.window import Window
         o = spark.read.parquet(f"{sf_dir}/orders.parquet")
         w = Window.partitionBy("o_custkey").orderBy(
@@ -510,92 +606,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             o.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 3)
-            .select("o_custkey", "o_orderkey", "rn")
+            .select(
+                "o_custkey", "o_orderkey", "rn",
+                F.when(F.col("rn") == 1, _micro(F.col("o_totalprice")))
+                .alias("top_price_micro"),
+            )
         )
     q["topn_per_group"] = q_topn_per_group
-
-    def q_location_norm(spark, sf_dir):
-        # F7: exact-match case map with error fallback (UvaHelper.java:8-20);
-        # fallback rendered as 'UNKNOWN' instead of raise_error so the
-        # operator is total (the reference throws)
-        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-        m = (
-            F.when(F.col("c_mktsegment") == "BUILDING", "Building Dept")
-            .when(F.col("c_mktsegment") == "AUTOMOBILE", "Auto Dept")
-            .when(F.col("c_mktsegment") == "MACHINERY", "Machinery Dept")
-            .when(F.col("c_mktsegment") == "HOUSEHOLD", "Household Dept")
-            .otherwise("UNKNOWN")
-        )
-        return c.select("c_custkey", m.alias("location"))
-    q["location_normalize"] = q_location_norm
-
-    def q_manifest_url(spark, sf_dir):
-        # F8 (UvaHelper.java:22-28): mirador-prefixed URLs yield the target
-        # after '='; plain URLs pass through
-        p = spark.read.parquet(f"{sf_dir}/part.parquet")
-        url = F.when(
-            F.col("p_partkey") % 2 == 0,
-            F.concat(F.lit("http://mirador.lib/view?manifest=https://iiif.example/"),
-                     F.col("p_partkey").cast("string")),
-        ).otherwise(
-            F.concat(F.lit("https://plain.example/"), F.col("p_partkey").cast("string"))
-        )
-        return p.select(
-            "p_partkey", E.extract_manifest_url(url).alias("manifest_url")
-        )
-    q["manifest_url"] = q_manifest_url
-
-    def q_extent_build(spark, sf_dir):
-        # F3 (ASpaceObject.java:290-298)
-        p = spark.read.parquet(f"{sf_dir}/part.parquet")
-        ext_type = F.regexp_replace("p_type", " ", "_")
-        summary = F.when(F.col("p_partkey") % 3 == 0, F.col("p_brand"))
-        return p.select(
-            "p_partkey",
-            E.extent_string(F.col("p_size"), ext_type, summary).alias("extent_display"),
-        )
-    q["extent_build"] = q_extent_build
-
-    def q_end_year(spark, sf_dir):
-        # F4 (ASpaceObject.java:312-316): '1912'→1912, '1912-1918'→1918,
-        # junk→NULL (total-function adaptation of the reference's throw)
-        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-        y = F.year("o_orderdate").cast("string")
-        expr = (
-            F.when(F.col("o_orderkey") % 3 == 0, y)
-            .when(F.col("o_orderkey") % 3 == 1,
-                  F.concat(y, F.lit("-"), (F.year("o_orderdate") + 5).cast("string")))
-            .otherwise(F.concat(F.lit("circa "), y))
-        )
-        return o.select("o_orderkey", E.end_year(expr).alias("end_year"))
-    q["end_year_parse"] = q_end_year
-
-    def q_role_suffix(spark, sf_dir):
-        # F17 (avalon-solr-v3-to-v4.xsl:30-56): map-literal suffix concat
-        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-        roles = F.array(*[F.lit(r) for r in ["cmp", "cnd", "aut", "sng", "zzz"]])
-        role = roles[(F.col("c_custkey") % 5).cast("int")]
-        return c.select(
-            "c_custkey", role.alias("role"),
-            E.role_suffix(F.col("c_name"), role).alias("display_name"),
-        )
-    q["role_suffix_map"] = q_role_suffix
-
-    def q_virgo_id(spark, sf_dir):
-        # F22 (SolrHelper.java:122-130)
-        p = spark.read.parquet(f"{sf_dir}/part.parquet")
-        k = F.col("p_partkey").cast("string")
-        candidates = [
-            F.concat(F.lit("VIU"), k), F.concat(F.lit("MSS "), k),
-            F.concat(F.lit("RG_"), k), F.concat(F.lit("MS_/"), k),
-            F.concat(F.lit("OTHER"), k),
-        ]
-        cid = F.array(*candidates)[(F.col("p_partkey") % 5).cast("int")]
-        return p.select(
-            "p_partkey", cid.alias("candidate_id"),
-            E.is_unique_virgo_id(cid).alias("is_virgo_id"),
-        )
-    q["virgo_id_classify"] = q_virgo_id
 
     def q_collection_visible(spark, sf_dir):
         # P1 (ASpaceCollection.java:45-49): visibility conjunction
@@ -610,23 +627,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["collection_visibility"] = q_collection_visible
 
-    def q_route_split(spark, sf_dir):
-        # P5/U2 (ASpaceObject.java:182-186; IndexRecordsForV4.java:83-89):
-        # one scan, first-match route labels (the partitionBy split key)
-        p = spark.read.parquet(f"{sf_dir}/part.parquet")
-        return p.select(
-            "p_partkey",
-            E.route_label(
-                "p_type",
-                [
-                    (F.col("p_type").startswith("ECONOMY"), "economy"),
-                    (F.col("p_type").contains("BRASS"), "brass"),
-                ],
-                default="other",
-            ).alias("route"),
-        )
-    q["route_split"] = q_route_split
-
     def q_postjoin_publish(spark, sf_dir):
         # P6+P8 (publish filters on joined dims; status predicate
         # ASpaceTopContainer.java:65): join then filter both sides'
@@ -640,38 +640,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("o_orderkey", "c_custkey")
         )
     q["postjoin_publish_filter"] = q_postjoin_publish
-
-    def q_note_type(spark, sf_dir):
-        # P9 (ASpaceObject.java:460-463): scopecontent notes project into
-        # display AND text; other published notes into text only
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        ntype = F.when(F.col("event_id") % 4 == 0, "scopecontent").otherwise(
-            F.col("event_type")
-        )
-        published = F.col("event_id") % 3 != 0
-        text = F.col("props")
-        return ev.select(
-            "event_id",
-            ntype.alias("note_type"),
-            F.when(ntype == "scopecontent", text).alias("note_display"),
-            F.when(published, text).alias("note_text"),
-        )
-    q["note_type_projection"] = q_note_type
-
-    def q_xpath_extract(spark, sf_dir):
-        # F20 (reference test-side XPath, SolrHelper.java:132-146): build a
-        # doc XML and extract fields back — a round-trip oracle
-        p = spark.read.parquet(f"{sf_dir}/part.parquet")
-        xml = F.concat(
-            F.lit("<r><id>"), F.col("p_partkey").cast("string"),
-            F.lit("</id><n>"), F.col("p_name"), F.lit("</n></r>"),
-        )
-        return p.select(
-            "p_partkey",
-            F.xpath_string(xml, F.lit("/r/id")).alias("extracted_id"),
-            F.xpath_string(xml, F.lit("/r/n")).alias("extracted_name"),
-        )
-    q["xpath_extract"] = q_xpath_extract
 
     def q_barcode_coalesce(spark, sf_dir):
         # F10/F11 (ASpaceTopContainer.java:80-92): stored barcode else
@@ -710,52 +678,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).alias("n"), _micro(F.avg("value")).alias("avg_value_micro"))
         )
     q["range_filter_events"] = q_range_filter
-
-    def q_json_extract(spark, sf_dir):
-        # F19 (JsonHelper.java:19-40): dynamic JSON field access
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return ev.select(
-            "event_id",
-            F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
-        )
-    q["json_extract"] = q_json_extract
-
-    def q_first_per_group(spark, sf_dir):
-        from pyspark.sql.window import Window
-        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-        w = Window.partitionBy("o_custkey").orderBy(
-            F.desc("o_totalprice"), F.asc("o_orderkey")
-        )
-        return (
-            o.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("o_custkey", "o_orderkey", _micro(F.col("o_totalprice")).alias("top_price_micro"))
-        )
-    q["first_per_group"] = q_first_per_group
-
-    def q_translate(spark, sf_dir):
-        p = spark.read.parquet(f"{sf_dir}/part.parquet")
-        return p.select(
-            "p_partkey", F.translate("p_name", "ms ", "MS_").alias("translated")
-        )
-    q["translate"] = q_translate
-
-    def q_regex_validate(spark, sf_dir):
-        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-        return c.select(
-            "c_custkey",
-            F.regexp_extract("c_name", "Customer#(\\d+)", 1).cast("long").alias("cust_num"),
-            F.col("c_name").rlike("^Customer#\\d{9}$").alias("id_valid"),
-        )
-    q["regex_validate_id"] = q_regex_validate
-
-    def q_membership(spark, sf_dir):
-        p = spark.read.parquet(f"{sf_dir}/part.parquet")
-        return p.select(
-            "p_partkey",
-            F.array_contains(F.split(F.col("p_name"), " "), "green").alias("has_green"),
-        )
-    q["array_membership"] = q_membership
 
     return q
 
@@ -862,27 +784,20 @@ FROM (SELECT len({_TOKS}) AS dl FROM documents)
 
     o["facet_lang"] = "SELECT lang, count(*) AS facet_count FROM documents GROUP BY lang"
 
-    o["token_count"] = (
-        f"SELECT doc_id, {TS.token_count_sql('text')} AS n_tokens FROM documents"
-    )
-    o["token_count_ws"] = (
-        f"SELECT doc_id, {TS.token_count_ws_sql('text')} AS n_tokens_ws "
-        "FROM documents"
-    )
-    o["token_count_bpe"] = (
-        f"SELECT doc_id, {TS.token_count_bpe_sql('text')} AS n_tokens_bpe "
-        "FROM documents"
-    )
-    o["lang_id"] = (
-        f"SELECT doc_id, {TS.lang_id_sql('text')} AS lang_guess FROM documents"
-    )
-    o["quality_score"] = (
-        f"SELECT doc_id, {micro(TS.quality_score_sql('text'))} AS quality_micro "
-        "FROM documents"
-    )
-    o["fingerprint"] = (
-        f"SELECT doc_id, {TS.fingerprint_sql('text')} AS fp FROM documents"
-    )
+    o["token_counts"] = f"""
+SELECT doc_id,
+       {TS.token_count_sql('text')} AS n_tokens,
+       {TS.token_count_ws_sql('text')} AS n_tokens_ws,
+       {TS.token_count_bpe_sql('text')} AS n_tokens_bpe
+FROM documents
+"""
+    o["text_quality_stats"] = f"""
+SELECT doc_id,
+       {TS.lang_id_sql('text')} AS lang_guess,
+       {micro(TS.quality_score_sql('text'))} AS quality_micro,
+       {TS.fingerprint_sql('text')} AS fp
+FROM documents
+"""
 
     o["dedup_exact"] = D.exact_duplicates_sql("documents", "doc_id", "text")
 
@@ -975,6 +890,14 @@ FROM documents d JOIN packed p ON d.doc_id = p._id
             inner=S.lsh_cosine_topk_sql(ANN_QUERY, k=K, n_planes=8, probe_hamming=1),
         )
     )
+    import numpy as _np
+    _ivf_cent = _np.asarray(S.deterministic_hyperplanes(64, 8, seed=21))
+    o["ivf_ann_topk"] = (
+        "SELECT vec_id, {m} AS cos_micro FROM ({inner}) t".format(
+            m=micro("cos"),
+            inner=S.ivf_topk_sql(_ivf_cent, ANN_QUERY, k=K, nprobe=2),
+        )
+    )
     o["embedding_neardup_lsh"] = (
         "SELECT id_a, id_b, {m} AS cos_micro FROM ({inner}) t".format(
             m=micro("cos"),
@@ -1014,10 +937,10 @@ WITH v3 AS (
 SELECT 'archival' AS pool_f,
        'false' AS circulating_f,
        '2026-01-01T00:00:00Z' AS record_date_stored,
-       CASE WHEN format_facet = 'Online' THEN ['Online', 'On shelf']
-            ELSE ['On shelf'] END AS uva_availability_f_stored,
-       CASE WHEN format_facet = 'Online' THEN ['Online', 'On shelf']
-            ELSE ['On shelf'] END AS anon_availability_f_stored,
+       CASE WHEN format_facet = 'Online' THEN 'Online,On shelf'
+            ELSE 'On shelf' END AS uva_availability_f_stored,
+       CASE WHEN format_facet = 'Online' THEN 'Online,On shelf'
+            ELSE 'On shelf' END AS anon_availability_f_stored,
        translate(call_number_facet, 'ms', 'MS') AS call_number_tsearch_stored,
        translate(call_number_facet, 'ms ', 'MS_') AS mss_work_key_sort,
        translate(call_number_facet, 'ms ', 'MS_') AS work_title3_key_ssort,
@@ -1058,51 +981,87 @@ FROM v3
     o["natural_sort_fractional"] = f"""
 WITH lab AS (SELECT p_partkey, {frac_label} AS label FROM part)
 SELECT p_partkey, label,
-       {E.natural_sort_key_frac_sql('label')} AS nat_key
+       array_to_string({E.natural_sort_key_frac_sql('label')}, chr(31)) AS nat_key
 FROM lab
 """
 
-    o["date_bucket"] = (
-        "SELECT o_orderkey, "
-        + E.date_bucket_labels_sql("year(o_orderdate)", ref_year=1998)
-        + " AS age_buckets FROM orders"
-    )
-    o["normalize_id"] = (
-        f"SELECT p_partkey, {E.normalize_id_sql('p_type')} AS norm_id FROM part"
-    )
-    o["concat_ws_id"] = """
+    yexpr = ("CASE WHEN o_orderkey % 3 = 0 THEN CAST(year(o_orderdate) AS VARCHAR) "
+             "WHEN o_orderkey % 3 = 1 THEN CAST(year(o_orderdate) AS VARCHAR) || '-' "
+             "|| CAST(year(o_orderdate) + 5 AS VARCHAR) "
+             "ELSE 'circa ' || CAST(year(o_orderdate) AS VARCHAR) END")
+    o["scalar_etl_orders"] = f"""
 SELECT o_orderkey,
+       {E.date_bucket_labels_sql("year(o_orderdate)", ref_year=1998)} AS age_buckets,
        concat_ws('-', o_orderstatus, nullif(o_orderpriority, '1-URGENT'),
-                 CAST(o_custkey AS VARCHAR)) AS joined_id
-FROM orders
-"""
-    nf_title = ("CASE WHEN p_partkey % 3 = 0 THEN 'The ' || p_name "
-                "ELSE p_name END")
-    o["nonfiling_sort_offset"] = (
-        f"SELECT p_partkey, {E.nonfiling_offset_sql(nf_title)} AS nonfiling "
-        "FROM part"
-    )
-
-    url = ("'https://img.example/' || regexp_replace(p_name, ' ', '-', 'g') "
-           "|| '/full/max/0/default.jpg'")
-    o["thumbnail_rewrite"] = (
-        f"SELECT p_partkey, {E.thumbnail_resize_sql(url)} AS thumb_url FROM part"
-    )
-
-    o["year_to_timestamp"] = (
-        "SELECT o_orderkey, "
-        + E.year_to_timestamp_sql("year(o_orderdate)")
-        + " AS published_date FROM orders"
-    )
-
-    o["shadow_gate_projection"] = """
-SELECT o_orderkey,
+                 CAST(o_custkey AS VARCHAR)) AS joined_id,
+       {E.end_year_sql(yexpr)} AS end_year,
+       {E.year_to_timestamp_sql("year(o_orderdate)")} AS published_date,
        CASE WHEN o_orderstatus = 'F'
             THEN concat_ws('|', CAST(o_orderkey AS VARCHAR))
             ELSE concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderpriority,
                            CAST(o_custkey AS VARCHAR))
        END AS doc
 FROM orders
+"""
+
+    nf_title = ("CASE WHEN p_partkey % 3 = 0 THEN 'The ' || p_name "
+                "ELSE p_name END")
+    thumb_src = ("'https://img.example/' || regexp_replace(p_name, ' ', '-', 'g') "
+                 "|| '/full/max/0/default.jpg'")
+    murl = ("CASE WHEN p_partkey % 2 = 0 THEN "
+            "'http://mirador.lib/view?manifest=https://iiif.example/' || CAST(p_partkey AS VARCHAR) "
+            "ELSE 'https://plain.example/' || CAST(p_partkey AS VARCHAR) END")
+    ext = E.extent_string_sql(
+        "p_size", "regexp_replace(p_type, ' ', '_', 'g')",
+        "CASE WHEN p_partkey % 3 = 0 THEN p_brand END",
+    )
+    cid = ("['VIU' || k, 'MSS ' || k, 'RG_' || k, 'MS_/' || k, 'OTHER' || k]"
+           "[CAST(p_partkey % 5 AS INT) + 1]")
+    o["scalar_etl_part"] = f"""
+WITH src AS (SELECT *, CAST(p_partkey AS VARCHAR) AS k FROM part),
+lab AS (SELECT *, {cid} AS candidate_id FROM src)
+SELECT p_partkey,
+       {E.normalize_id_sql('p_type')} AS norm_id,
+       translate(p_name, 'ms ', 'MS_') AS translated,
+       list_contains(string_split(p_name, ' '), 'green') AS has_green,
+       {E.extract_manifest_url_sql(murl)} AS manifest_url,
+       {E.thumbnail_resize_sql(thumb_src)} AS thumb_url,
+       k AS extracted_id,
+       p_name AS extracted_name,
+       CASE WHEN starts_with(p_type, 'ECONOMY') THEN 'economy'
+            WHEN contains(p_type, 'BRASS') THEN 'brass'
+            ELSE 'other' END AS route,
+       candidate_id,
+       {E.is_unique_virgo_id_sql('candidate_id')} AS is_virgo_id,
+       {E.nonfiling_offset_sql(nf_title)} AS nonfiling,
+       {ext} AS extent_display
+FROM lab
+"""
+
+    role = "['cmp', 'cnd', 'aut', 'sng', 'zzz'][CAST(c_custkey % 5 AS INT) + 1]"
+    o["scalar_etl_customer"] = rf"""
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS cust_num,
+       regexp_matches(c_name, '^Customer#\d{{9}}$') AS id_valid,
+       {role} AS role,
+       {E.role_suffix_sql('c_name', role)} AS display_name,
+       CASE c_mktsegment
+         WHEN 'BUILDING' THEN 'Building Dept'
+         WHEN 'AUTOMOBILE' THEN 'Auto Dept'
+         WHEN 'MACHINERY' THEN 'Machinery Dept'
+         WHEN 'HOUSEHOLD' THEN 'Household Dept'
+         ELSE 'UNKNOWN' END AS location
+FROM customer
+"""
+
+    o["scalar_etl_events"] = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+       CASE WHEN event_id % 4 = 0 THEN 'scopecontent' ELSE event_type END AS note_type,
+       CASE WHEN (CASE WHEN event_id % 4 = 0 THEN 'scopecontent' ELSE event_type END)
+                 = 'scopecontent' THEN props END AS note_display,
+       CASE WHEN event_id % 3 <> 0 THEN props END AS note_text
+FROM events
 """
 
     o["collect_json_array"] = """
@@ -1168,64 +1127,15 @@ LEFT JOIN nation ON c_nationkey = n_nationkey
 LEFT JOIN region ON n_regionkey = r_regionkey
 """
 
-    o["topn_per_group"] = """
-SELECT o_custkey, o_orderkey, rn FROM (
-  SELECT o_custkey, o_orderkey,
+    o["topn_per_group"] = f"""
+SELECT o_custkey, o_orderkey, rn,
+       CASE WHEN rn = 1 THEN {micro('o_totalprice')} END AS top_price_micro
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
   FROM orders
 ) WHERE rn <= 3
-"""
-
-    o["location_normalize"] = """
-SELECT c_custkey,
-       CASE c_mktsegment
-         WHEN 'BUILDING' THEN 'Building Dept'
-         WHEN 'AUTOMOBILE' THEN 'Auto Dept'
-         WHEN 'MACHINERY' THEN 'Machinery Dept'
-         WHEN 'HOUSEHOLD' THEN 'Household Dept'
-         ELSE 'UNKNOWN' END AS location
-FROM customer
-"""
-
-    murl = ("CASE WHEN p_partkey % 2 = 0 THEN "
-            "'http://mirador.lib/view?manifest=https://iiif.example/' || CAST(p_partkey AS VARCHAR) "
-            "ELSE 'https://plain.example/' || CAST(p_partkey AS VARCHAR) END")
-    o["manifest_url"] = (
-        f"SELECT p_partkey, {E.extract_manifest_url_sql(murl)} AS manifest_url FROM part"
-    )
-
-    ext = E.extent_string_sql(
-        "p_size", "regexp_replace(p_type, ' ', '_', 'g')",
-        "CASE WHEN p_partkey % 3 = 0 THEN p_brand END",
-    )
-    o["extent_build"] = (
-        f"SELECT p_partkey, {ext} AS extent_display FROM part"
-    )
-
-    yexpr = ("CASE WHEN o_orderkey % 3 = 0 THEN CAST(year(o_orderdate) AS VARCHAR) "
-             "WHEN o_orderkey % 3 = 1 THEN CAST(year(o_orderdate) AS VARCHAR) || '-' "
-             "|| CAST(year(o_orderdate) + 5 AS VARCHAR) "
-             "ELSE 'circa ' || CAST(year(o_orderdate) AS VARCHAR) END")
-    o["end_year_parse"] = (
-        f"SELECT o_orderkey, {E.end_year_sql(yexpr)} AS end_year FROM orders"
-    )
-
-    role = "['cmp', 'cnd', 'aut', 'sng', 'zzz'][CAST(c_custkey % 5 AS INT) + 1]"
-    o["role_suffix_map"] = f"""
-SELECT c_custkey, {role} AS role,
-       {E.role_suffix_sql('c_name', role)} AS display_name
-FROM customer
-"""
-
-    cid = ("['VIU' || k, 'MSS ' || k, 'RG_' || k, 'MS_/' || k, 'OTHER' || k]"
-           "[CAST(p_partkey % 5 AS INT) + 1]")
-    o["virgo_id_classify"] = f"""
-WITH src AS (SELECT p_partkey, CAST(p_partkey AS VARCHAR) AS k FROM part),
-lab AS (SELECT p_partkey, {cid} AS candidate_id FROM src)
-SELECT p_partkey, candidate_id,
-       {E.is_unique_virgo_id_sql('candidate_id')} AS is_virgo_id
-FROM lab
 """
 
     o["collection_visibility"] = """
@@ -1235,33 +1145,10 @@ WHERE (o_orderkey % 2 = 0)
   AND CAST(o_custkey % 4 AS INT) > 0
 """
 
-    o["route_split"] = """
-SELECT p_partkey,
-       CASE WHEN starts_with(p_type, 'ECONOMY') THEN 'economy'
-            WHEN contains(p_type, 'BRASS') THEN 'brass'
-            ELSE 'other' END AS route
-FROM part
-"""
-
     o["postjoin_publish_filter"] = """
 SELECT o_orderkey, c_custkey
 FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE o_orderstatus = 'O' AND c_mktsegment = 'BUILDING'
-"""
-
-    o["note_type_projection"] = """
-SELECT event_id,
-       CASE WHEN event_id % 4 = 0 THEN 'scopecontent' ELSE event_type END AS note_type,
-       CASE WHEN (CASE WHEN event_id % 4 = 0 THEN 'scopecontent' ELSE event_type END)
-                 = 'scopecontent' THEN props END AS note_display,
-       CASE WHEN event_id % 3 <> 0 THEN props END AS note_text
-FROM events
-"""
-
-    o["xpath_extract"] = """
-SELECT p_partkey, CAST(p_partkey AS VARCHAR) AS extracted_id,
-       p_name AS extracted_name
-FROM part
 """
 
     o["barcode_coalesce"] = """
@@ -1281,31 +1168,5 @@ SELECT event_type, count(*) AS n, {micro('avg(value)')} AS avg_value_micro
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
 GROUP BY event_type
-"""
-    o["json_extract"] = """
-SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
-FROM events
-"""
-    o["first_per_group"] = f"""
-SELECT o_custkey, o_orderkey, {micro('o_totalprice')} AS top_price_micro
-FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-  FROM orders
-) WHERE rn = 1
-"""
-    o["translate"] = (
-        "SELECT p_partkey, translate(p_name, 'ms ', 'MS_') AS translated FROM part"
-    )
-    o["regex_validate_id"] = r"""
-SELECT c_custkey,
-       CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS cust_num,
-       regexp_matches(c_name, '^Customer#\d{9}$') AS id_valid
-FROM customer
-"""
-    o["array_membership"] = """
-SELECT p_partkey, list_contains(string_split(p_name, ' '), 'green') AS has_green
-FROM part
 """
     return o

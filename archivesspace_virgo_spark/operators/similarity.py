@@ -408,6 +408,18 @@ def write_ivf_embeddings(
     )
 
 
+def nearest_lists(
+    centroids: np.ndarray, query_vec: Sequence[float], nprobe: int
+) -> List[int]:
+    """The ``nprobe`` nearest IVF lists to the query (centroid cosine order).
+    Shared by ``ivf_topk`` and its SQL twin so both probe identical lists."""
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) + 1e-12)
+    return [int(p) for p in np.argsort(-(Cn @ qn))[:nprobe]]
+
+
 def ivf_topk(
     spark,
     path: str,
@@ -420,15 +432,59 @@ def ivf_topk(
 ) -> DataFrame:
     """Probe the ``nprobe`` nearest lists (by centroid cosine), exact
     re-rank inside them.  nprobe = n_lists degenerates to exact search."""
+    probes = nearest_lists(centroids, query_vec, nprobe)
+    cand = spark.read.parquet(path).filter(F.col("list_id").isin(probes))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_topk_sql(
+    centroids: np.ndarray,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for ``ivf_topk``: the centroid matrix is inlined as
+    literal arrays (normalized with the same numpy expression the Spark
+    ``_assign_fn`` kernel uses, so both engines see bit-identical floats),
+    list assignment is a first-max argmax over centroid dot products (the
+    np.argmax contract), the probe set is computed by the shared
+    ``nearest_lists`` helper, and candidates are exactly re-ranked."""
     C = np.asarray(centroids, dtype=np.float64)
     Cn = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / (np.linalg.norm(q) + 1e-12)
-    probes = np.argsort(-(Cn @ qn))[:nprobe].tolist()
-    cand = spark.read.parquet(path).filter(
-        F.col("list_id").isin([int(p) for p in probes])
+    probes = nearest_lists(centroids, query_vec, nprobe)
+    probe_list = ", ".join(str(p) for p in sorted(probes))
+    dots = ", ".join(
+        f"list_dot_product(_v, {_sql_vec(Cn[i])}) AS d{i}"
+        for i in range(len(Cn))
     )
-    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+    # first-max argmax: list i wins iff d_i >= every later d_j (ties keep
+    # the earlier index, matching np.argmax)
+    cases = []
+    n = len(Cn)
+    for i in range(n - 1):
+        conds = " AND ".join(f"d{i} >= d{j}" for j in range(i + 1, n))
+        cases.append(f"WHEN {conds} THEN {i}")
+    argmax = "CASE " + " ".join(cases) + f" ELSE {n - 1} END"
+    qv = _sql_vec(query_vec)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS _v FROM {table}
+),
+d AS (SELECT vec_id, _v, {dots} FROM base),
+assigned AS (SELECT vec_id, _v, {argmax} AS list_id FROM d),
+cand AS (SELECT vec_id, _v FROM assigned WHERE list_id IN ({probe_list})),
+s AS (
+  SELECT vec_id,
+         list_dot_product(_v, {qv})
+           / (sqrt(list_dot_product(_v, _v)) * sqrt(list_dot_product({qv}, {qv}))) AS _cos
+  FROM cand
+)
+SELECT vec_id, round(_cos, 6) AS cos FROM s
+ORDER BY _cos DESC, vec_id ASC LIMIT {k}
+"""
 
 
 def lsh_cosine_topk(
