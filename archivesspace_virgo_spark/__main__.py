@@ -106,7 +106,15 @@ def main(argv=None) -> int:
 
                 st = IndexStorage(a.index)
                 if os.path.exists(st.path("_errors")):
-                    n_err = st.read(spark, "_errors").count()
+                    # _errors is append-only across builds; only THIS build's
+                    # quarantined rows should fail this run
+                    from pyspark.sql import functions as F
+
+                    n_err = (
+                        st.read(spark, "_errors")
+                        .filter(F.col("build_id") == meta.get("build_id"))
+                        .count()
+                    )
                     if n_err:
                         print(f"{n_err} rows quarantined", file=sys.stderr)
                         return 1

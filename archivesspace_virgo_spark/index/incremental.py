@@ -50,6 +50,29 @@ from archivesspace_virgo_spark.index.storage import IndexStorage
 IDENTITY = ["repo", "path"]
 
 
+def _latest_per_identity(df: DataFrame) -> DataFrame:
+    """Resolve multiple same-identity rows to the newest commit.
+
+    A snapshot table whose updates arrive as same-identity appends presents
+    several versions of one (repo, path) in a full read; indexing them all
+    would give doc_map two rows per identity (first build) or merge two
+    source rows into one doc_id (modified-classification fan-out) —
+    corrupted postings either way.  Every path that feeds a corpus into
+    build_index/detect_changes must funnel through this resolution.
+    Inputs without a ``commit`` column (already-resolved corpora) pass
+    through unchanged.
+    """
+    if "commit" not in df.columns:
+        return df
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*IDENTITY).orderBy(F.desc("commit"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
 def detect_changes(spark: SparkSession, new_corpus: DataFrame, index_dir: str) -> dict:
     """Classify new_corpus rows vs the stored doc_map.
 
@@ -138,7 +161,9 @@ def incremental_update_from_table(
         or commit.get("config_hash") != config.config_hash()
         or last is None
     ):
-        corpus = table.read(spark, current)  # snapshot-pinned full build
+        # snapshot-pinned full build; same-identity appends resolve to the
+        # newest commit exactly as in the snapshot-diff path below
+        corpus = _latest_per_identity(table.read(spark, current))
         meta = build_index(
             spark, corpus, index_dir, config, build_id=build_id,
             input_fingerprint=f"snap-{current}",
@@ -149,8 +174,9 @@ def incremental_update_from_table(
                 "corpus_snapshot_id": current}
     if table.has_overwrite_between(last, current):
         # overwrite breaks append-only incrementality (Iceberg contract):
-        # deletions/updates may hide anywhere → full-diff join path
-        corpus = table.read(spark, current)
+        # deletions/updates may hide anywhere → full-diff join path (with
+        # the same newest-commit identity resolution)
+        corpus = _latest_per_identity(table.read(spark, current))
         meta = incremental_update(
             spark, corpus, index_dir, config, build_id=build_id,
             input_fingerprint=f"snap-{current}",
@@ -163,13 +189,7 @@ def incremental_update_from_table(
         delta = with_content_sha(delta)
     # multiple appends may touch one identity; keep the newest (ordering by
     # commit string is arbitrary but deterministic)
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(*IDENTITY).orderBy(F.desc("commit"))
-    delta = (
-        delta.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1).drop("_rn")
-    )
+    delta = _latest_per_identity(delta)
 
     old = storage.read(spark, "doc_map").select(
         *IDENTITY, F.col("doc_id").alias("_old_id"),
@@ -213,11 +233,7 @@ def incremental_update_from_table(
         if "content_sha256" not in pruned.columns:
             pruned = with_content_sha(pruned)
         # same newest-commit resolution as the delta, then attach stored ids
-        pw = Window.partitionBy(*IDENTITY).orderBy(F.desc("commit"))
-        pruned = (
-            pruned.withColumn("_rn", F.row_number().over(pw))
-            .filter(F.col("_rn") == 1).drop("_rn")
-        )
+        pruned = _latest_per_identity(pruned)
         if "doc_id" in pruned.columns:  # stored ids win over any carried ids
             pruned = pruned.drop("doc_id")
         survivors = pruned.join(survivors_map, IDENTITY)

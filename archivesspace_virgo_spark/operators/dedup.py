@@ -192,6 +192,7 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("u").alias("id"), F.col("u").alias("label")).distinct()
+    converged = False
     for _ in range(max_rounds):
         neigh = (
             edges.join(labels, edges["v"] == labels["id"])
@@ -211,7 +212,16 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         done = changed.isEmpty()
         labels = new_labels
         if done:
+            converged = True
             break
+    if not converged:
+        # a silently partial clustering picks WRONG keepers; fail loudly
+        # like transitive_ancestors does on depth overflow
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within {max_rounds} "
+            "rounds (duplicate chain deeper than max_rounds); raise "
+            "max_rounds"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keeper"))
 
 

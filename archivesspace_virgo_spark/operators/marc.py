@@ -41,11 +41,29 @@ def encode_marc(fields: List[Tuple[str, bytes]]) -> bytes:
     data = b""
     for tag, fdata in fields:
         fdata = fdata + FT
+        # ISO 2709 directory slots are fixed-width (4-digit length, 5-digit
+        # offset); overflow would silently shift every later entry and make
+        # the record unreadable — fail loudly instead
+        if len(fdata) > 9999:
+            raise ValueError(
+                f"MARC field {tag} is {len(fdata)} bytes; ISO 2709 caps a "
+                "field at 9999 (truncate the source value first)"
+            )
+        if len(data) > 99999 - len(fdata):
+            raise ValueError(
+                "MARC record data section exceeds the ISO 2709 99999-byte "
+                "offset limit"
+            )
         directory += f"{tag}{len(fdata):04d}{len(data):05d}".encode()
         data += fdata
     directory += FT
     base = 24 + len(directory)
     record_len = base + len(data) + 1
+    if record_len > 99999:
+        raise ValueError(
+            f"MARC record is {record_len} bytes; ISO 2709 caps a record at "
+            "99999"
+        )
     leader = f"{record_len:05d}nam a22{base:05d} a 4500".encode()
     assert len(leader) == 24
     return leader + directory + data + RT

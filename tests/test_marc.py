@@ -24,6 +24,22 @@ def test_encode_decode_roundtrip():
     assert decode_marc(rec) == fields
 
 
+def test_encode_rejects_oversize_field_and_record():
+    # ISO 2709 directory slots are fixed-width; overflow must raise, not
+    # silently corrupt every subsequent directory entry (ADVICE round 2)
+    import pytest
+
+    with pytest.raises(ValueError, match="9999"):
+        encode_marc([("245", b"x" * 10000)])
+    # many max-size fields overflowing the 5-digit offset/record budget
+    big = [("500", b"x" * 9000) for _ in range(12)]
+    with pytest.raises(ValueError, match="99999"):
+        encode_marc(big)
+    # a max-size single field still round-trips
+    ok = encode_marc([("245", b"x" * 9998)])
+    assert decode_marc(ok) == [("245", b"x" * 9998)]
+
+
 def test_circulation_records(spark):
     rows = [
         (1, "The Jefferson Papers", "/repositories/3/resources/1",

