@@ -120,14 +120,28 @@ def main(argv=None) -> int:
                         return 1
             return 0
         if a.cmd == "sync":
+            import os
+
             from archivesspace_virgo_spark.index.incremental import (
                 incremental_update_from_table,
             )
-            from archivesspace_virgo_spark.sources import SnapshotTable
+            from archivesspace_virgo_spark.sources import (
+                SnapshotTable,
+                wrap_parquet_dir,
+            )
 
-            print(incremental_update_from_table(
-                spark, SnapshotTable(a.table), a.index, cfg
-            ))
+            if os.path.exists(
+                os.path.join(a.table, "metadata", "version-hint.text")
+            ):
+                table = SnapshotTable(a.table)
+            else:
+                # plain parquet dir: auto-wrap it in a snapshot log (stored
+                # under the index) so repeated syncs scan only new files
+                # instead of re-reading the whole corpus
+                table = wrap_parquet_dir(
+                    a.table, os.path.join(a.index, "_corpus_log")
+                )
+            print(incremental_update_from_table(spark, table, a.index, cfg))
             return 0
 
         from archivesspace_virgo_spark.index.query import QueryEngine

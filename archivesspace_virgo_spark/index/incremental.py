@@ -267,7 +267,15 @@ def incremental_update(
     """Merge corpus changes into an existing index; returns build metadata
     plus the dirty-shard list.  Falls back to implicit full rebuild when the
     stored config hash differs (reference: transform-hash change forces full
-    reindex, IndexRecordsForV4.java:44-64)."""
+    reindex, IndexRecordsForV4.java:44-64).
+
+    SCALE NOTE: this is the DataFrame-level core merge — it full-outer-joins
+    ``new_corpus`` against doc_map, so its scan cost is O(corpus).  For
+    repeated syncs use ``incremental_update_from_table`` over a
+    SnapshotTable (or ``sources.wrap_parquet_dir`` for a plain directory),
+    which scans only the files appended since the last sync; this function
+    remains the correct tool exactly where full-corpus semantics are
+    required (overwrite snapshots, ad-hoc one-shot merges)."""
     config = config or IndexConfig()
     storage = IndexStorage(index_dir)
     if not storage.is_committed_with(config):

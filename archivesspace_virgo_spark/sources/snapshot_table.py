@@ -86,37 +86,62 @@ class SnapshotTable:
             return json.load(f)
 
     # --- writes ---
+    def _manifest_entry(self, path: str, prune_col: Optional[str]) -> dict:
+        """Manifest entry for one immutable parquet file: row count +
+        min/max of the prune column (Iceberg manifest stats)."""
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path)
+        entry = {"path": path, "n_rows": meta.metadata.num_rows}
+        if prune_col is not None:
+            try:
+                idx = meta.schema_arrow.names.index(prune_col)
+                mins, maxs = [], []
+                for rg in range(meta.metadata.num_row_groups):
+                    st = meta.metadata.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                entry["min"] = min(mins)
+                entry["max"] = max(maxs)
+            except (ValueError, IndexError):
+                pass  # no stats → file is never pruned
+        return entry
+
     def _stage_files(self, df: DataFrame) -> List[dict]:
         """Write df as immutable parquet files under data/, returning
         manifest entries with per-file stats (rows, min/max prune column)."""
-        import pyarrow.parquet as pq
-
         sub = os.path.join(self.data_dir, uuid.uuid4().hex[:12])
         df.write.mode("overwrite").parquet(sub)
         prune_col = self.snapshot(0).get("prune_column")
-        entries = []
-        for name in sorted(os.listdir(sub)):
-            if not name.endswith(".parquet"):
-                continue
-            path = os.path.join(sub, name)
-            meta = pq.ParquetFile(path)
-            entry = {"path": path, "n_rows": meta.metadata.num_rows}
-            if prune_col is not None:
-                try:
-                    idx = meta.schema_arrow.names.index(prune_col)
-                    mins, maxs = [], []
-                    for rg in range(meta.metadata.num_row_groups):
-                        st = meta.metadata.row_group(rg).column(idx).statistics
-                        if st is None or not st.has_min_max:
-                            raise ValueError
-                        mins.append(st.min)
-                        maxs.append(st.max)
-                    entry["min"] = min(mins)
-                    entry["max"] = max(maxs)
-                except (ValueError, IndexError):
-                    pass  # no stats → file is never pruned
-            entries.append(entry)
-        return entries
+        return [
+            self._manifest_entry(os.path.join(sub, name), prune_col)
+            for name in sorted(os.listdir(sub))
+            if name.endswith(".parquet")
+        ]
+
+    def register_files(self, paths: List[str], operation: str = "append",
+                       carry_entries: Optional[List[dict]] = None) -> int:
+        """Commit a snapshot that REGISTERS existing immutable parquet files
+        without copying them (the Iceberg ``add_files`` procedure).  With
+        ``operation='append'`` the new files extend the parent manifest;
+        with ``'overwrite'`` the manifest becomes exactly
+        ``carry_entries + paths`` (used when source files disappeared).
+        """
+        parent = self.current_snapshot_id()
+        prune_col = self.snapshot(0).get("prune_column")
+        new_files = [self._manifest_entry(p, prune_col) for p in sorted(paths)]
+        if operation == "append":
+            manifest = self.snapshot(parent)["manifest"] + new_files
+        else:
+            manifest = list(carry_entries or []) + new_files
+        v = parent + 1
+        self._write_version(v, {
+            "snapshot_id": v, "parent_id": parent, "operation": operation,
+            "manifest": manifest, "added": new_files, "ts": time.time(),
+        })
+        return v
 
     def append(self, df: DataFrame) -> int:
         """Commit a new snapshot = parent manifest + newly written files."""
@@ -216,6 +241,50 @@ class SnapshotTable:
                     continue  # no key falls inside this file's range
             files.append(e["path"])
         return self._read_files(spark, files)
+
+
+def wrap_parquet_dir(source_dir: str, log_dir: str,
+                     prune_column: Optional[str] = "repo") -> SnapshotTable:
+    """Wrap a PLAIN parquet directory in a SnapshotTable snapshot log —
+    the scale-safe on-ramp for corpora that are not snapshot-versioned yet.
+
+    The log (stored under ``log_dir``, NOT inside the source) registers the
+    directory's files without copying them (Iceberg ``add_files``
+    semantics).  Each call reconciles the directory against the last
+    snapshot:
+
+    - new files        → one ``append`` snapshot (downstream syncs then
+      scan ONLY these files via the snapshot-diff path);
+    - files removed    → one ``overwrite`` snapshot (deletions can hide
+      anywhere, so downstream correctly falls back to the full-diff merge —
+      the Iceberg contract);
+    - unchanged        → no commit (noop sync downstream).
+
+    Registered files are treated as immutable, like Iceberg data files; an
+    in-place rewrite of an existing file is NOT detected (rewriters must
+    add new files or delete old ones — parquet writers do exactly that).
+    """
+    if os.path.exists(os.path.join(log_dir, "metadata", "version-hint.text")):
+        t = SnapshotTable(log_dir)
+    else:
+        t = SnapshotTable.create(log_dir, prune_column)
+
+    current: List[str] = []
+    for root, _dirs, names in os.walk(source_dir):
+        current.extend(
+            os.path.join(root, n) for n in names if n.endswith(".parquet")
+        )
+    current_set = set(current)
+    known_entries = t.snapshot()["manifest"]
+    known = {e["path"] for e in known_entries}
+    new = sorted(current_set - known)
+    removed = known - current_set
+    if removed:
+        survivors = [e for e in known_entries if e["path"] in current_set]
+        t.register_files(new, operation="overwrite", carry_entries=survivors)
+    elif new:
+        t.register_files(new, operation="append")
+    return t
 
 
 def read_iceberg(spark: SparkSession, table_ident: str,

@@ -20,12 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from archivesspace_virgo_spark.config import IndexConfig
-from archivesspace_virgo_spark.index.incremental import incremental_update
 
 
 def stream_corpus_into_index(
     spark: SparkSession,
-    corpus_glob: str,
+    corpus_dir: str,
     corpus_schema: str,
     index_dir: str,
     checkpoint_dir: str,
@@ -33,28 +32,35 @@ def stream_corpus_into_index(
 ):
     """Index every new corpus file exactly once (AvailableNow → drain & stop).
 
-    Each micro-batch is merged with the SAME shard-scoped incremental path
-    as batch mode — streaming is a scheduling choice, not a second engine.
+    The plain-directory on-ramp: each micro-batch reconciles the directory
+    into a SnapshotTable snapshot log (``wrap_parquet_dir`` — files are
+    REGISTERED, never copied) and merges via the snapshot-diff path, so a
+    sync scans ONLY the files appended since the last indexed snapshot —
+    never the full corpus.  Deleted source files commit an overwrite
+    snapshot, which correctly falls back to the full-diff merge (the
+    Iceberg contract).  The log lives under ``{index_dir}/_corpus_log``.
     Returns the StreamingQuery (caller awaits termination).
     """
+    import os
+
+    from archivesspace_virgo_spark.index.incremental import (
+        incremental_update_from_table,
+    )
+    from archivesspace_virgo_spark.sources import wrap_parquet_dir
+
     cfg = config or IndexConfig()
+    log_dir = os.path.join(index_dir, "_corpus_log")
     stream = (
-        spark.readStream.schema(corpus_schema).format("parquet").load(corpus_glob)
+        spark.readStream.schema(corpus_schema).format("parquet").load(corpus_dir)
     )
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        # The micro-batch is the TRIGGER, not the merge input: a batch holds
-        # only newly-arrived rows, but index maintenance needs full-corpus
-        # semantics (a doc absent from the corpus is a delete).  So re-read
-        # the corpus and let delta detection scope the rebuild to dirty
-        # shards — on Iceberg this read is a snapshot-diff instead.
-        if batch_df.isEmpty():
-            return
-        corpus = spark.read.parquet(corpus_glob)
-        incremental_update(
-            spark, corpus, index_dir, cfg,
+        # the micro-batch is only the TRIGGER; the merge is driven by the
+        # snapshot log so its scan scope is |appended files|, not |corpus|
+        table = wrap_parquet_dir(corpus_dir, log_dir)
+        incremental_update_from_table(
+            spark, table, index_dir, cfg,
             build_id=f"stream-epoch-{epoch_id}",
-            input_fingerprint=f"epoch-{epoch_id}",
         )
 
     return (

@@ -131,6 +131,88 @@ def test_overwrite_falls_back_to_full_diff(spark, tmp_path):
     assert dm.count() == 140
 
 
+def test_wrap_parquet_dir_scan_scope(spark, tmp_path):
+    """wrap_parquet_dir registers a plain directory's files in a snapshot
+    log without copying; new files commit appends whose diff scans ONLY
+    them; deleted files commit an overwrite (full-diff fallback signal)."""
+    import os
+
+    from archivesspace_virgo_spark.sources import wrap_parquet_dir
+
+    src, log = str(tmp_path / "src"), str(tmp_path / "log")
+    _corpus(spark, 0, 100).write.parquet(os.path.join(src, "b0"))
+    t = wrap_parquet_dir(src, log)
+    s1 = t.current_snapshot_id()
+    assert t.read(spark, s1).count() == 100
+    # no data copy: manifest points INTO the source dir
+    assert all(e["path"].startswith(src) for e in t.snapshot(s1)["manifest"])
+
+    # idempotent: re-wrapping an unchanged dir commits nothing
+    assert wrap_parquet_dir(src, log).current_snapshot_id() == s1
+
+    _corpus(spark, 100, 150).write.parquet(os.path.join(src, "b1"))
+    t = wrap_parquet_dir(src, log)
+    s2 = t.current_snapshot_id()
+    d = t.diff(spark, s1, s2)
+    assert d.count() == 50
+    scanned = {os.path.basename(f) for f in d.inputFiles()}
+    added = {os.path.basename(e["path"]) for e in t.snapshot(s2)["added"]}
+    assert scanned and scanned <= added  # diff reads only the new files
+
+    # deletion → overwrite snapshot → append-only incrementality broken
+    import shutil
+    shutil.rmtree(os.path.join(src, "b0"))
+    t = wrap_parquet_dir(src, log)
+    s3 = t.current_snapshot_id()
+    assert t.snapshot(s3)["operation"] == "overwrite"
+    assert t.has_overwrite_between(s2, s3)
+    assert t.read(spark, s3).count() == 50
+
+
+def test_read_iceberg_option_names():
+    """Pin the real-Iceberg reader's option names with a mocked
+    DataFrameReader (the jar is absent here; the cluster path must not
+    drift)."""
+    from archivesspace_virgo_spark.sources import read_iceberg
+
+    class Rec:
+        def __init__(self):
+            self.fmt, self.opts, self.ident = None, {}, None
+
+        def format(self, f):
+            self.fmt = f
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def load(self, ident):
+            self.ident = ident
+            return "DF"
+
+    class FakeSpark:
+        def __init__(self, rec):
+            self.read = rec
+
+    rec = Rec()
+    assert read_iceberg(FakeSpark(rec), "cat.db.corpus", snapshot_id=7) == "DF"
+    assert rec.fmt == "iceberg"
+    assert rec.opts == {"snapshot-id": "7"}
+    assert rec.ident == "cat.db.corpus"
+
+    rec2 = Rec()
+    read_iceberg(FakeSpark(rec2), "cat.db.corpus", start_snapshot_id=3)
+    assert rec2.opts == {"start-snapshot-id": "3"}
+
+    class Broken:
+        def format(self, f):
+            raise RuntimeError("no iceberg jar")
+
+    with pytest.raises(RuntimeError, match="Iceberg runtime not available"):
+        read_iceberg(FakeSpark(Broken()), "cat.db.corpus")
+
+
 def test_same_identity_appends_dedupe_on_full_paths(spark, tmp_path):
     """A table whose updates arrive as same-identity appends must index ONE
     doc per identity (newest commit) on the FULL-rebuild path and the

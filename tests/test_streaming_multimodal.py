@@ -51,6 +51,20 @@ def test_stream_merges_into_index(spark, tmp_path):
     assert e2.n_docs == 150
     assert e2.search(["table"], k=5).count() > 0
 
+    # the second micro-batch merged via the snapshot-diff path, NOT a
+    # full rebuild: its lineage rows cover only the dirty tail shards
+    # (appended ids 100-149 → shards 1,2 at 64 docs/shard; shard 0 untouched)
+    st = IndexStorage(index_dir)
+    commit = st.read_commit()
+    assert commit["corpus_snapshot_id"] == 2  # wrap committed one append
+    snap2 = {
+        r["doc_shard"]
+        for r in st.read(spark, "_lineage")
+        .filter(F.col("input_fingerprint") == "snap-2")
+        .collect()
+    }
+    assert snap2 == {1, 2}
+
 
 def test_windowed_event_counts_stream_matches_batch(spark):
     events_path = f"{SF_SMOKE}/events.parquet"
