@@ -207,9 +207,6 @@ def _make_packer(block_size: int, fields: tuple = ("content",)):
         doc_parts, dl_parts, term_parts, pos_parts = [], [], [], []
         for f in fields:
             toks = tokenize_series(pdf[f])
-            if f != default:
-                prefix = f + ":"
-                toks = toks.map(lambda ts: [prefix + t for t in ts])
             lens = toks.map(len).to_numpy(dtype=np.int64)
             total = int(lens.sum())
             if total == 0:
@@ -221,9 +218,16 @@ def _make_packer(block_size: int, fields: tuple = ("content",)):
             starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
             pos_parts.append(np.arange(total, dtype=np.int64)
                              - np.repeat(starts, lens))
-            term_parts.append(
-                np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks if t]
             )
+            if f != default:
+                # prefix-composite terms, vectorized over the FLAT token
+                # array (one pandas str concat, not a per-row Python loop)
+                flat = (f + ":" + pd.Series(flat, dtype=object)).to_numpy(
+                    dtype=object
+                )
+            term_parts.append(flat)
         if not term_parts:
             return empty
         return _pack_occurrences(

@@ -266,10 +266,19 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
               & (F.col("a._id") < F.col("b._id")))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
     )
+    # semi-join prefilter: most docs appear in NO candidate pair, so shrink
+    # the exploded shingle relation to candidate ids before the two
+    # intersect joins — same result, far fewer shuffled shingle rows
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .union(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    ex_c = ex.join(cand_ids, "_id", "left_semi")
     inter = (
-        cand.join(ex.alias("x"), F.col("id_a") == F.col("x._id"))
+        cand.join(ex_c.alias("x"), F.col("id_a") == F.col("x._id"))
         .join(
-            ex.alias("y"),
+            ex_c.alias("y"),
             (F.col("id_b") == F.col("y._id")) & (F.col("x.sh") == F.col("y.sh")),
         )
         .groupBy("id_a", "id_b")

@@ -108,6 +108,37 @@ def test_added_id_assignment_has_no_global_window(spark, tmp_path):
     assert ids == list(range(old_max + 1, old_max + 1 + len(ids)))
 
 
+def test_field_retrieval_is_broadcast_lookup(spark, tmp_path):
+    """search_with_fields must stay a broadcast lookup of the ≤k-row hit set
+    against a column-pruned doc_map scan — never a sort-merge join that
+    sorts the whole doc_map (the re-sort after the join is fine: it orders
+    ≤k joined rows)."""
+    from archivesspace_virgo_spark.index.build import build_index
+    from archivesspace_virgo_spark.index.query import QueryEngine
+
+    d = str(tmp_path / "idx")
+    corpus = load_documents_as_corpus(spark, SF_SMOKE)
+    build_index(spark, corpus, d, CFG)
+    engine = QueryEngine(spark, d, CFG)
+    res = engine.search_with_fields(["table", "join"], k=10,
+                                    fields=("repo", "lang"))
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:4000]
+    assert "SortMergeJoin" not in plan, plan[:4000]
+    # column pruning: the doc_map scan reads exactly doc_id + requested
+    # fields (the scan line's path is truncated in the printed plan, so
+    # identify it by its pruned ReadSchema)
+    assert "ReadSchema: struct<doc_id:bigint,repo:string,lang:string>" in plan, (
+        plan[:4000]
+    )
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln:
+            assert "content_sha256" not in ln, ln
+    rows = res.collect()
+    assert 0 < len(rows) <= 10
+    assert res.columns == ["doc_id", "repo", "lang", "score"]
+
+
 def test_facet_plan_has_no_global_sort(spark, tmp_path):
     """facet_search must count the UNRANKED match set: no top-k, no global
     sort, no single-partition funnel of the full result set (the k=n_docs
