@@ -347,6 +347,28 @@ def collection_visible_sql(publish: str, status: str, n_containers: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# P3 — publish visibility filter (ASpaceTopContainer.java:44-46,
+# ASpaceDigitalObject.java:42-44, ASpaceArchivalObject.java:30-32): the
+# simplest of the visibility predicates — a bare boolean gate
+# ---------------------------------------------------------------------------
+
+def publish_filter(df: DataFrame, publish_col: str = "publish") -> DataFrame:
+    return df.filter(F.col(publish_col))
+
+
+# ---------------------------------------------------------------------------
+# P7 — role predicate (ASpaceObject.java:360-367): only creator-role agents
+# project into the author fields
+# ---------------------------------------------------------------------------
+
+CREATOR_ROLE = "creator"
+
+
+def creator_role_filter(df: DataFrame, role_col: str = "role") -> DataFrame:
+    return df.filter(F.col(role_col) == CREATOR_ROLE)
+
+
+# ---------------------------------------------------------------------------
 # P5/U2 — route/split one scan into per-route outputs
 # (instance-type routing ASpaceObject.java:182-186; aspace-vs-avalon output
 # partitions IndexRecordsForV4.java:83-89)

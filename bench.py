@@ -158,6 +158,8 @@ def run_build_and_queries(cpus: int, run_queries: bool = True,
     spark = make_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     try:
+        import shutil as _sh
+
         corpus, n_docs = bench_corpus(spark, SF_DIR, replicate or REPLICATE)
         # ~1 shard per core: each shard is one build task / one query task.
         # Scaling runs pin docs_per_shard so both parallelism levels execute
@@ -165,13 +167,24 @@ def run_build_and_queries(cpus: int, run_queries: bool = True,
         cfg = IndexConfig(
             docs_per_shard=docs_per_shard or max(2048, n_docs // cpus)
         )
-        index_dir = tempfile.mkdtemp(prefix=f"avs_bench_{cpus}_")
-        t0 = time.time()
-        build_index(spark, corpus, index_dir, cfg)
-        build_sec = time.time() - t0
+        # repeated builds, median reported: single-shot numbers on this host
+        # swing up to 4.5x with steal/bandwidth weather (BASELINE.md), so one
+        # sample is noise; repeats also equalize JIT state across rounds
+        n_repeats = int(os.environ.get("SPARK_GRAFT_BUILD_REPEATS", "3"))
+        build_runs = []
+        index_dir = None
+        for i in range(max(1, n_repeats)):
+            if index_dir is not None:
+                _sh.rmtree(index_dir, ignore_errors=True)
+            index_dir = tempfile.mkdtemp(prefix=f"avs_bench_{cpus}_")
+            t0 = time.time()
+            build_index(spark, corpus, index_dir, cfg)
+            build_runs.append(time.time() - t0)
+        build_sec = statistics.median(build_runs)
         out = {
             "n_docs": n_docs,
             "build_sec": build_sec,
+            "build_sec_runs": [round(s, 3) for s in build_runs],
             "docs_per_sec": n_docs / build_sec,
         }
         if want_digest:
@@ -269,6 +282,7 @@ def main():
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "n_docs": main_run["n_docs"],
         "build_docs_per_sec": round(main_run["docs_per_sec"], 1),
+        "build_sec_runs": main_run.get("build_sec_runs", []),
         "query_p95_sec": round(main_run.get("query_p95_sec", 0.0), 4),
         "query_cold_p95_sec": round(main_run.get("query_cold_p95_sec", 0.0), 4),
         "query_cold_first_sec": round(main_run.get("query_cold_first_sec", 0.0), 4),
