@@ -51,6 +51,26 @@ def test_transforms_and_constants(spark):
     assert law["published_date"] is None
 
 
+def test_wallclock_stamp_default(spark):
+    """F16 (aspace-solr-v3-to-v4.xsl:38-40): without a pinned record_date the
+    migration stamps the current wall-clock time in the XSLT's ISO shape —
+    the nondeterministic branch excluded from the driver oracle, pinned here
+    by format instead of value."""
+    import re
+    from datetime import datetime, timezone
+
+    before = datetime.now(timezone.utc).replace(microsecond=0)
+    out = schema_migrate_v3_to_v4(_v3_docs(spark)).collect()
+    after = datetime.now(timezone.utc)
+    for r in out:
+        stamp = r["record_date_stored"]
+        assert re.fullmatch(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z", stamp)
+        t = datetime.strptime(stamp, "%Y-%m-%dT%H:%M:%SZ").replace(
+            tzinfo=timezone.utc
+        )
+        assert before <= t <= after
+
+
 def test_unmapped_v3_fields_dropped(spark):
     v3 = _v3_docs(spark).withColumn("junk_v3_only_field", F.lit("x"))
     out = schema_migrate_v3_to_v4(v3, record_date="2026-01-01T00:00:00Z")
