@@ -679,6 +679,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["range_filter_events"] = q_range_filter
 
+    def q_bm25_prefix(spark, sf_dir):
+        # Lucene PrefixQuery / Solr q=s* (SCORING_BOOLEAN rewrite): expand
+        # against the index lexicon, BM25-score the expansion as an OR
+        engine = _engine_for(spark, sf_dir)
+        res = engine.prefix_search("s*", k=K)
+        return res.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+    q["bm25_prefix"] = q_bm25_prefix
+
+    def q_repetition_stats(spark, sf_dir):
+        # Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+        # top-n-gram char coverage + duplicate-n-gram instance fraction,
+        # n∈{2,3} — one shuffle-free fold per column (see textstats.py)
+        d = _docs(spark, sf_dir)
+        return d.select(
+            "doc_id",
+            _micro(TS.top_ngram_char_frac("text", 2)).alias("top2gram_frac_micro"),
+            _micro(TS.dup_ngram_frac("text", 2)).alias("dup2gram_frac_micro"),
+            _micro(TS.top_ngram_char_frac("text", 3)).alias("top3gram_frac_micro"),
+            _micro(TS.dup_ngram_frac("text", 3)).alias("dup3gram_frac_micro"),
+        )
+    q["repetition_stats"] = q_repetition_stats
+
     return q
 
 
@@ -1168,5 +1190,20 @@ SELECT event_type, count(*) AS n, {micro('avg(value)')} AS avg_value_micro
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
 GROUP BY event_type
+"""
+
+    from archivesspace_virgo_spark.functions.bm25 import bm25_prefix_oracle_sql
+    prefix_inner = bm25_prefix_oracle_sql("s", k=K)
+    o["bm25_prefix"] = (
+        f"SELECT doc_id, {micro('score')} AS score_micro FROM ({prefix_inner}) t"
+    )
+
+    o["repetition_stats"] = f"""
+SELECT doc_id,
+       {micro(TS.top_ngram_char_frac_sql('text', 2))} AS top2gram_frac_micro,
+       {micro(TS.dup_ngram_frac_sql('text', 2))} AS dup2gram_frac_micro,
+       {micro(TS.top_ngram_char_frac_sql('text', 3))} AS top3gram_frac_micro,
+       {micro(TS.dup_ngram_frac_sql('text', 3))} AS dup3gram_frac_micro
+FROM documents
 """
     return o

@@ -187,3 +187,55 @@ FROM scored
 ORDER BY _score DESC, doc_id ASC
 LIMIT {k} OFFSET {offset}
 """
+
+
+def bm25_prefix_oracle_sql(
+    prefix: str,
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    offset: int = 0,
+) -> str:
+    """DuckDB twin of ``QueryEngine.prefix_search``: the PrefixQuery
+    scoring-boolean rewrite — every corpus term starting with ``prefix``
+    scores as an OR clause with its own idf.  The LIKE predicate replaces
+    the engine's lexicon expansion; both enumerate the identical term set
+    because the lexicon is built from the same tokenization."""
+    esc = prefix.replace("'", "''").replace("%", r"\%").replace("_", r"\_")
+    like = f"LIKE '{esc}%' ESCAPE '\\'"
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS doc_id,
+         unnest(list_filter(string_split_regex(lower({text_col}), '{TOKEN_SPLIT_PATTERN}'), t -> t <> '')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT d.{id_col} AS doc_id, coalesce(dl.dl, 0) AS dl
+        FROM {table} d LEFT JOIN dl ON d.{id_col} = dl.doc_id)
+),
+dft AS (SELECT term, count(*) AS df FROM tf WHERE term {like} GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         sum(contrib ORDER BY term) AS _score
+  FROM (
+    SELECT tf.doc_id, tf.term,
+           ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / stats.avgdl)) AS contrib
+    FROM tf
+    JOIN dft ON tf.term = dft.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+  )
+  GROUP BY doc_id
+)
+SELECT doc_id, round(_score, {ROUND}) AS score
+FROM scored
+ORDER BY _score DESC, doc_id ASC
+LIMIT {k} OFFSET {offset}
+"""

@@ -321,6 +321,67 @@ class QueryEngine:
             ordered = ordered.offset(offset)
         return ordered.limit(k)
 
+    # --- multi-term query rewrites (Lucene MultiTermQuery family; the
+    # Solr wildcard/fuzzy syntax of q=pre* / q=term~1 the reference's
+    # select handler accepts, SolrHelper.java:39-80).  Both expand against
+    # the lexicon — a tiny bounded collect — and delegate to ``search`` as
+    # a scoring boolean OR (Lucene SCORING_BOOLEAN_REWRITE: every expanded
+    # term scores with its own idf; no per-term boost). ---
+    def _expand(self, predicate, max_expansions: int, what: str) -> List[str]:
+        lex = self._lexicon_df()
+        rows = (
+            lex.filter(predicate)
+            .select("term", "df", "cf")
+            .limit(max_expansions + 1)
+            .collect()
+        )
+        if len(rows) > max_expansions:
+            # Lucene's IndexSearcher.TooManyClauses contract: refuse rather
+            # than silently score a truncated (nondeterministic) term set
+            raise ValueError(
+                f"{what} expands to more than {max_expansions} terms; "
+                "raise max_expansions or narrow the query"
+            )
+        for r in rows:  # seed the stats cache — no second lexicon job
+            self._term_cache[r["term"]] = (int(r["df"]), int(r["cf"]))
+        return [r["term"] for r in rows]
+
+    def prefix_search(self, prefix: str, k: int = 10, offset: int = 0,
+                      max_expansions: int = 1024) -> DataFrame:
+        """Lucene PrefixQuery (Solr ``q=pre*``): expand the prefix against
+        the lexicon, then BM25-score the expansion as a boolean OR.
+
+        A trailing ``*`` is accepted and stripped; ``field:pre*`` scopes the
+        expansion to that field's terms (stored as ``field:term``)."""
+        bare = prefix[:-1] if prefix.endswith("*") else prefix
+        _field, stored = self._parse_term(bare)
+        # stored default-field terms never contain ':' (the tokenizer strips
+        # non-alphanumerics), so a bare prefix cannot match scoped terms
+        terms = self._expand(
+            F.col("term").startswith(stored), max_expansions, f"prefix '{prefix}'"
+        )
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search(terms, k=k, mode="or", offset=offset)
+
+    def fuzzy_search(self, term: str, k: int = 10, max_edits: int = 1,
+                     prefix_length: int = 0, offset: int = 0,
+                     max_expansions: int = 50) -> DataFrame:
+        """Lucene FuzzyQuery (Solr ``q=term~1``): expand to every lexicon
+        term within ``max_edits`` Levenshtein edits (optionally sharing a
+        ``prefix_length``-char prefix, Lucene's prefixLength), then score
+        the expansion as a boolean OR.  ``max_expansions`` defaults to
+        Lucene's 50, but over-budget expansion raises (deterministic)
+        instead of Lucene's silent keep-top-N-by-df truncation."""
+        _field, stored = self._parse_term(term)
+        pred = F.levenshtein(F.col("term"), F.lit(stored)) <= max_edits
+        if prefix_length > 0:
+            pred = pred & F.col("term").startswith(stored[:prefix_length])
+        terms = self._expand(pred, max_expansions, f"fuzzy '{term}'")
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search(terms, k=k, mode="or", offset=offset)
+
     # --- Solr fl= parity: top-k with stored display fields
     # (the reference reads id/title/etc from every Solr response,
     # SolrHelper.java:39-66) ---
@@ -439,6 +500,104 @@ class QueryEngine:
         if offset:
             ordered = ordered.offset(offset)
         return ordered.limit(k)
+
+    # --- highlighting (Lucene UnifiedHighlighter surface: the hl=true
+    # snippet field the reference's Solr responses carry back to Virgo,
+    # SolrHelper.java:39-66) — built on the SAME stored positions that
+    # power phrase queries (format v7 pos_blob), no re-tokenization ---
+    def highlight(self, terms: Sequence[str], k: int = 10,
+                  mode: str = "or") -> DataFrame:
+        """Top-k hits plus the minimal token window covering every query
+        term the document contains: (doc_id, score, snippet_start,
+        snippet_end, n_matched) with positions in token offsets.
+
+        Plan shape: the ≤k hit ids are shipped INTO the per-shard kernel as
+        a closure literal (k rows — not a join), the kernel decodes
+        positions only for posting blocks whose doc range intersects the
+        hits, and emits ≤k window rows; the final broadcast join attaches
+        scores.  Cost is O(k · query terms) decoded docs, independent of
+        result-set size."""
+        hits = self.search(terms, k=k, mode=mode)
+        hit_rows = hits.collect()  # bounded: ≤ k rows
+        if not hit_rows:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, snippet_start int, "
+                    "snippet_end int, n_matched int")
+        hit_ids = sorted(int(r["doc_id"]) for r in hit_rows)
+        parsed = {self._parse_term(t) for t in terms}
+        uniq = sorted(stored for _f, stored in parsed)
+        stats = self.term_stats(uniq)
+        live = sorted(t for t in uniq if t in stats)
+        docs_per_shard = self.config.docs_per_shard
+        hit_arr = np.asarray(hit_ids, dtype=np.int64)
+
+        from archivesspace_virgo_spark import codec  # re-imported on workers
+
+        def windower(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "snippet_start": pd.Series(dtype="int32"),
+                "snippet_end": pd.Series(dtype="int32"),
+                "n_matched": pd.Series(dtype="int32"),
+            })
+            if pdf.empty:
+                return empty
+            shard = int(pdf["doc_shard"].iloc[0])
+            base = shard * docs_per_shard
+            in_shard = hit_arr[(hit_arr >= base)
+                               & (hit_arr < base + docs_per_shard)]
+            if in_shard.size == 0:
+                return empty
+            # occurrences of each query term within the hit docs only
+            occ: dict = {d: [] for d in in_shard}
+            for row in pdf.itertuples(index=False):
+                d_ids, tfs, _dls = codec.decode_postings(
+                    row.doc_blob, row.tf_blob, row.dl_blob)
+                pos = codec.decode_positions(row.pos_blob, tfs)
+                occ_doc = np.repeat(d_ids.astype(np.int64), tfs)
+                keep = np.isin(occ_doc, in_shard)
+                for d, p in zip(occ_doc[keep], pos[keep]):
+                    occ[int(d)].append((int(p), row.term))
+            out = []
+            for d in in_shard:
+                evs = sorted(occ[int(d)])
+                present = {t for _p, t in evs}
+                need = len(present)
+                # smallest-range-covering-all-present-terms sliding window
+                best = (1 << 30, 0, 0)
+                counts: dict = {}
+                covered = 0
+                lo = 0
+                for hi, (p_hi, t_hi) in enumerate(evs):
+                    counts[t_hi] = counts.get(t_hi, 0) + 1
+                    if counts[t_hi] == 1:
+                        covered += 1
+                    while covered == need:
+                        p_lo, t_lo = evs[lo]
+                        span = p_hi - p_lo
+                        if span < best[0]:
+                            best = (span, p_lo, p_hi)
+                        counts[t_lo] -= 1
+                        if counts[t_lo] == 0:
+                            covered -= 1
+                        lo += 1
+                out.append((int(d), best[1], best[2], need))
+            return pd.DataFrame(out, columns=[
+                "doc_id", "snippet_start", "snippet_end", "n_matched"])
+
+        postings = self._postings_df().filter(
+            F.col("term").isin(live)
+        ).select("doc_shard", "term", "doc_blob", "tf_blob", "dl_blob",
+                 "pos_blob")
+        windows = postings.groupBy("doc_shard").applyInPandas(
+            windower, schema="doc_id long, snippet_start int, "
+                             "snippet_end int, n_matched int")
+        return (
+            windows.join(F.broadcast(hits), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "score", "snippet_start", "snippet_end",
+                    "n_matched")
+        )
 
     # --- unranked boolean match set (the facet/count primitive) ---
     def match_ids(self, terms: Sequence[str], mode: str = "or") -> DataFrame:

@@ -128,6 +128,144 @@ def quality_score_sql(expr: str) -> str:
     )
 
 
+def _ngram_array(toks: Column, n: int) -> Column:
+    """array<string> of space-joined word n-grams (empty when < n tokens)."""
+    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n, F.transform(idx, gram)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _ngram_run_stats(grams: Column, n: int) -> Column:
+    """struct(dup long, cov long) via a single fold over the SORTED grams:
+    run-length encoding in one pass — ``dup`` = Σ count over grams occurring
+    ≥2× (instances in duplicated n-grams), ``cov`` = max over grams of
+    count × token-chars(gram).  Zero shuffle, whole-stage codegen: the
+    100-TB path is a per-row expression, unlike the explode→groupBy(doc,
+    gram) formulation whose shuffle carries every n-gram instance."""
+    sep = n - 1  # separator chars inside a space-joined gram
+
+    def _final_dup(acc):
+        return acc["dup"] + F.when(
+            acc["run"] >= 2, acc["run"]
+        ).otherwise(F.lit(0).cast("long"))
+
+    def _final_cov(acc):
+        return F.greatest(
+            acc["cov"],
+            acc["run"] * (F.length(acc["prev"]) - F.lit(sep)).cast("long"),
+        )
+
+    def merge(acc, g):
+        return F.when(
+            g == acc["prev"],
+            F.struct(
+                g.alias("prev"),
+                (acc["run"] + F.lit(1).cast("long")).alias("run"),
+                acc["dup"].alias("dup"),
+                acc["cov"].alias("cov"),
+            ),
+        ).otherwise(
+            F.struct(
+                g.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                _final_dup(acc).alias("dup"),
+                _final_cov(acc).alias("cov"),
+            )
+        )
+
+    def finish(acc):
+        return F.struct(
+            _final_dup(acc).alias("dup"), _final_cov(acc).alias("cov")
+        )
+
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("cov"),
+    )
+    return F.aggregate(F.array_sort(grams), init, merge, finish)
+
+
+def top_ngram_char_frac(text_col: Column | str, n: int) -> Column:
+    """Gopher-style repetition signal (Rae et al. 2021 §A1.1): fraction of
+    token characters covered by the most repeated word n-gram —
+    max_g(count_g × chars_g) / Σ token chars.  The numerator maximizes the
+    count×chars product directly (deterministic under count ties, unlike
+    "chars of the argmax-count gram").  0.0 when the doc has < n tokens."""
+    toks = tokens_column(text_col)
+    grams = _ngram_array(toks, n)
+    st = _ngram_run_stats(grams, n)
+    charsum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t).cast("long")
+    )
+    return F.when(
+        (F.size(grams) > 0) & (charsum > 0),
+        st["cov"].cast("double") / charsum.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_frac(text_col: Column | str, n: int) -> Column:
+    """Fraction of n-gram instances whose gram occurs ≥2× in the document
+    (Gopher's duplicate-n-gram filter family).  0.0 when < n tokens."""
+    toks = tokens_column(text_col)
+    grams = _ngram_array(toks, n)
+    st = _ngram_run_stats(grams, n)
+    return F.when(
+        F.size(grams) > 0, st["dup"].cast("double") / F.size(grams).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def _ngram_array_sql(toks: str, n: int) -> str:
+    """DuckDB twin of ``_ngram_array`` (1-based list indexing)."""
+    parts = " || ' ' || ".join(f"({toks})[i + {j}]" for j in range(n))
+    return (
+        f"list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 0)), "
+        f"i -> {parts})"
+    )
+
+
+def top_ngram_char_frac_sql(expr: str, n: int) -> str:
+    """DuckDB twin — relational shape differs (per-distinct-gram count via
+    list_filter instead of the fold) but the arithmetic is identical:
+    max(count×chars)::DOUBLE / Σ token chars."""
+    toks = (
+        f"list_filter(string_split_regex(lower({expr}), "
+        f"'{TOKEN_SPLIT_PATTERN}'), t -> t <> '')"
+    )
+    grams = _ngram_array_sql(toks, n)
+    cov = (
+        f"coalesce(list_max(list_transform(list_distinct({grams}), "
+        f"g -> len(list_filter({grams}, x -> x = g)) * (length(g) - {n - 1}))), 0)"
+    )
+    charsum = f"list_sum(list_transform({toks}, t -> length(t)))"
+    return (
+        f"CASE WHEN len({grams}) > 0 AND ({charsum}) > 0 "
+        f"THEN ({cov})::DOUBLE / ({charsum})::DOUBLE ELSE 0.0 END"
+    )
+
+
+def dup_ngram_frac_sql(expr: str, n: int) -> str:
+    toks = (
+        f"list_filter(string_split_regex(lower({expr}), "
+        f"'{TOKEN_SPLIT_PATTERN}'), t -> t <> '')"
+    )
+    grams = _ngram_array_sql(toks, n)
+    dup = (
+        f"coalesce(list_sum(list_transform(list_distinct({grams}), "
+        f"g -> CASE WHEN len(list_filter({grams}, x -> x = g)) >= 2 "
+        f"THEN len(list_filter({grams}, x -> x = g)) ELSE 0 END)), 0)"
+    )
+    return (
+        f"CASE WHEN len({grams}) > 0 "
+        f"THEN ({dup})::DOUBLE / len({grams})::DOUBLE ELSE 0.0 END"
+    )
+
+
 def fingerprint(text_col: Column | str) -> Column:
     """Normalization fingerprint: md5 over the canonical token stream —
     robust to whitespace/punctuation/case changes (the md5 change-detection
