@@ -49,6 +49,7 @@ def _make_shard_scorer(
     b: float,
     docs_per_shard: int,
     mode: str,
+    neg_terms: Optional[List[str]] = None,
 ):
     """Per-shard scoring kernel for cogroup-applyInPandas.
 
@@ -69,6 +70,7 @@ def _make_shard_scorer(
     from archivesspace_virgo_spark import codec  # re-imported on workers
 
     n_query_terms = len(set(terms))
+    neg_set = sorted(set(neg_terms or ()))
 
     def term_bound(row, avgdl: float) -> float:
         max_tf = np.asarray(row.block_max_tf, dtype=np.float64)
@@ -87,6 +89,22 @@ def _make_shard_scorer(
             return empty
         shard = int(postings_pdf["doc_shard"].iloc[0])
         base = shard * docs_per_shard
+        # MUST_NOT exclusion (Lucene BooleanClause / Solr ``-term``):
+        # decode the excluded terms' doc ids into a shard-local mask and
+        # strip them from every positive term's postings BEFORE scoring —
+        # excluded docs never contribute, never enter the candidate set,
+        # and never inflate the pruning threshold, so MaxScore/WAND
+        # pruning stays exact.  Entirely shard-local: no extra shuffle.
+        excluded = None
+        if neg_set:
+            for t in neg_set:
+                row = by_term.get(t)
+                if row is None:
+                    continue
+                d = codec.delta_decode(codec.varbyte_decode(row.doc_blob))
+                if excluded is None:
+                    excluded = np.zeros(docs_per_shard, dtype=bool)
+                excluded[d.astype(np.int64) - base] = True
         present = [(i, terms[i]) for i in range(len(terms)) if terms[i] in by_term]
         if mode == "and" and len(present) < n_query_terms:
             return empty
@@ -137,6 +155,9 @@ def _make_shard_scorer(
                 local = doc_ids.astype(np.int64) - base
                 tfs = tfs.astype(np.float64)
                 dls = dls.astype(np.float64)
+            if excluded is not None:
+                keep = ~excluded[local]
+                local, tfs, dls = local[keep], tfs[keep], dls[keep]
             contrib = idfs[i] * tfs / (tfs + k1 * (1.0 - b + b * dls / avgdls[i]))
             np.add.at(scores, local, contrib)
             np.add.at(seen, local, 1)
@@ -278,14 +299,21 @@ class QueryEngine:
 
     # --- the headline operator: BM25 top-k (T6/T7/T8) ---
     def search(self, terms: Sequence[str], k: int = 10, mode: str = "or",
-               offset: int = 0) -> DataFrame:
+               offset: int = 0, exclude: Sequence[str] = ()) -> DataFrame:
         """Returns DataFrame(doc_id long, score double), ordered, ≤ k rows.
 
         ``offset`` is Solr's cursor paging (``start=N&rows=k``,
         SolrHelper.java:43-66): each shard returns its top (offset+k)
         partials — a page deep in the results costs offset+k rows per shard,
         exactly like Lucene's collector; the global TakeOrderedAndProject
-        then skips ``offset`` rows deterministically (score desc, doc_id)."""
+        then skips ``offset`` rows deterministically (score desc, doc_id).
+
+        ``exclude`` is Lucene's BooleanClause.MUST_NOT (Solr ``q=a -b``):
+        docs containing ANY excluded term are dropped; surviving docs keep
+        their unchanged positive-clause BM25 score (a pure filter — MUST_NOT
+        clauses never contribute to scoring).  Excluded terms need no
+        lexicon lookup: their postings rows ride the same per-shard Arrow
+        batch and become a shard-local boolean mask."""
         parsed = {self._parse_term(t) for t in terms}
         uniq = sorted(stored for _f, stored in parsed)
         fields = {stored: f for f, stored in parsed}
@@ -295,6 +323,8 @@ class QueryEngine:
             live = []  # an absent term empties an AND query
         if not live:
             return self.spark.createDataFrame([], "doc_id long, score double")
+        neg = sorted({stored for _f, stored in
+                      (self._parse_term(t) for t in exclude)})
         # idf from the term's OWN field corpus (per-field N and avgdl)
         idfs = [
             lucene_idf(self.field_stats[fields[t]][0], stats[t][0]) for t in live
@@ -304,14 +334,16 @@ class QueryEngine:
         # project pos_blob (and cf) OUT before the Arrow hand-off: scoring
         # never reads positions, and shipping them would roughly double the
         # per-query transfer bytes
-        postings = self._postings_df().filter(F.col("term").isin(live)).select(
+        postings = self._postings_df().filter(
+            F.col("term").isin(live + neg)
+        ).select(
             "doc_shard", "term", "doc_blob", "tf_blob", "dl_blob",
             "block_last_doc", "block_max_tf", "block_min_dl",
             "block_doc_off", "block_tf_off", "block_dl_off",
         )
         scorer = _make_shard_scorer(
             live, idfs, avgdls, k + offset, self.config.k1, self.config.b,
-            self.config.docs_per_shard, mode,
+            self.config.docs_per_shard, mode, neg_terms=neg,
         )
         partials = postings.groupBy("doc_shard").applyInPandas(
             scorer, schema="doc_id long, score double"
@@ -381,6 +413,153 @@ class QueryEngine:
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
         return self.search(terms, k=k, mode="or", offset=offset)
+
+    def wildcard_search(self, pattern: str, k: int = 10, offset: int = 0,
+                        max_expansions: int = 1024) -> DataFrame:
+        """Lucene WildcardQuery (Solr ``q=te*t`` / ``q=te?t``): ``*`` = any
+        run, ``?`` = any single char, everything else literal.  Expands
+        against the lexicon (a distributed filter — a leading wildcard is
+        allowed, it just can't use the prefix rowgroup stats) and scores
+        the expansion as a boolean OR."""
+        import re as _re
+
+        _field, stored = self._parse_term(pattern)
+        rx = "".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in stored
+        )
+        terms = self._expand(
+            F.col("term").rlike(f"^{rx}$"), max_expansions,
+            f"wildcard '{pattern}'",
+        )
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search(terms, k=k, mode="or", offset=offset)
+
+    def regexp_search(self, regex: str, k: int = 10, offset: int = 0,
+                      max_expansions: int = 1024) -> DataFrame:
+        """Lucene RegexpQuery (Solr ``q=/regex/``): the regex is anchored to
+        the WHOLE term (Lucene's contract — ``/ab.*/`` matches terms, not
+        substrings), expanded against the lexicon, scored as a boolean OR.
+        ``field:regex`` scopes to that field's terms."""
+        _field, stored = self._parse_term(regex)
+        if _field != self.config.fields[0]:
+            fld, body = stored.split(":", 1)
+            import re as _re
+            rx = f"{_re.escape(fld)}:(?:{body})"
+        else:
+            rx = f"(?:{stored})"
+        terms = self._expand(
+            F.col("term").rlike(f"^{rx}$"), max_expansions, f"regexp '{regex}'"
+        )
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search(terms, k=k, mode="or", offset=offset)
+
+    def term_range_search(self, lo: Optional[str], hi: Optional[str],
+                          k: int = 10, include_lo: bool = True,
+                          include_hi: bool = True,
+                          field: Optional[str] = None, offset: int = 0,
+                          max_expansions: int = 1024) -> DataFrame:
+        """Lucene TermRangeQuery (Solr ``q=f:[a TO b]`` / ``{a TO b}``):
+        every lexicon term lexicographically inside the bounds (None = open
+        end), scored as a boolean OR.  Ranges are per-field, as in Lucene:
+        the default field excludes scoped ``field:term`` entries (stored
+        default-field terms never contain ``:``); a non-default field
+        compares on the bare term under its ``field:`` prefix."""
+        default = self.config.fields[0]
+        field = field or default
+        if field == default:
+            pred = ~F.col("term").contains(":")
+            cmp_col = F.col("term")
+        else:
+            pred = F.col("term").startswith(f"{field}:")
+            cmp_col = F.substring(F.col("term"), len(field) + 2, 1 << 20)
+        if lo is not None:
+            pred = pred & (cmp_col >= lo if include_lo else cmp_col > lo)
+        if hi is not None:
+            pred = pred & (cmp_col <= hi if include_hi else cmp_col < hi)
+        terms = self._expand(
+            pred, max_expansions, f"term range [{lo} TO {hi}]"
+        )
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search(terms, k=k, mode="or", offset=offset)
+
+    # --- spell suggestion (Lucene DirectSpellChecker / Solr spellcheck
+    # component — the did-you-mean surface of the select handler the
+    # reference programs against, SolrHelper.java:39-80) ---
+    def suggest(self, term: str, n: int = 5, max_edits: int = 2,
+                prefix_length: int = 1, min_df: int = 1) -> DataFrame:
+        """Top-n corrections for a (possibly misspelled) term: lexicon
+        terms within ``max_edits`` Levenshtein edits, sharing the first
+        ``prefix_length`` chars (Lucene's minPrefix=1 default), the input
+        term itself excluded.  Ordered the DirectSpellChecker way — fewer
+        edits first, then higher df (more popular), then term — entirely as
+        a distributed lexicon filter + TakeOrdered(n); no collect of the
+        expansion.  Returns (term, df, distance)."""
+        _field, stored = self._parse_term(term)
+        pred = (
+            (F.levenshtein(F.col("term"), F.lit(stored)) <= max_edits)
+            & (F.col("term") != stored)
+            & (F.col("df") >= min_df)
+        )
+        if prefix_length > 0:
+            pred = pred & F.col("term").startswith(stored[:prefix_length])
+        return (
+            self._lexicon_df()
+            .filter(pred)
+            .withColumn("distance",
+                        F.levenshtein(F.col("term"), F.lit(stored)))
+            .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+            .select("term", "df", "distance")
+            .limit(n)
+        )
+
+    # --- MoreLikeThis (Lucene MLT ``like(text)`` / Solr mlt handler) ---
+    def more_like_this(self, text: str, k: int = 10,
+                       max_query_terms: int = 25, min_term_freq: int = 1,
+                       min_doc_freq: int = 1, max_doc_freq_pct: float = 1.0,
+                       exclude_doc_id: Optional[int] = None) -> DataFrame:
+        """Similar documents for a seed text, per the Lucene MoreLikeThis
+        contract: tokenize the seed (driver-side — it is ONE document),
+        keep terms with seed-tf ≥ min_term_freq and corpus df within
+        [min_doc_freq, max_doc_freq_pct·N], rank candidates by
+        seed-tf · idf, take the top ``max_query_terms`` as an interesting-
+        terms set, and run them as a scoring boolean OR.  One lexicon
+        point-lookup job for the candidate stats, then a normal ``search``.
+        ``exclude_doc_id`` drops the seed doc itself from the hits (Solr
+        mlt's match-exclusion) without disturbing the ranking."""
+        from collections import Counter
+
+        from archivesspace_virgo_spark.tokenizer import tokenize_text
+
+        tf = Counter(tokenize_text(text))
+        cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not cand:
+            return empty
+        stats = self.term_stats(cand)
+        ranked = []
+        for t in cand:
+            if t not in stats:
+                continue
+            df_t = stats[t][0]
+            if df_t < min_doc_freq or df_t > max_doc_freq_pct * self.n_docs:
+                continue
+            ranked.append((tf[t] * lucene_idf(self.n_docs, df_t), t))
+        top = [t for _s, t in
+               sorted(ranked, key=lambda it: (-it[0], it[1]))[:max_query_terms]]
+        if not top:
+            return empty
+        if exclude_doc_id is None:
+            return self.search(top, k=k, mode="or")
+        hits = self.search(top, k=k + 1, mode="or")
+        return (
+            hits.filter(F.col("doc_id") != int(exclude_doc_id))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     # --- Solr fl= parity: top-k with stored display fields
     # (the reference reads id/title/etc from every Solr response,
@@ -600,7 +779,8 @@ class QueryEngine:
         )
 
     # --- unranked boolean match set (the facet/count primitive) ---
-    def match_ids(self, terms: Sequence[str], mode: str = "or") -> DataFrame:
+    def match_ids(self, terms: Sequence[str], mode: str = "or",
+                  exclude: Sequence[str] = ()) -> DataFrame:
         """(doc_shard, doc_id) of every matching doc — NO scoring, NO sort.
 
         Per-shard kernel decodes only the query terms' doc blobs and emits
@@ -608,6 +788,9 @@ class QueryEngine:
         passes through a ranking step, so counting the full result set
         (facets) costs one map pass over ≤|terms| posting rows per shard
         plus a partial-aggregated count — independent of result-set size.
+
+        ``exclude``: MUST_NOT terms — matching doc ids are set-subtracted
+        shard-locally (sorted-array difference, no shuffle).
         """
         parsed = {self._parse_term(t) for t in terms}
         uniq = sorted(stored for _f, stored in parsed)
@@ -617,6 +800,9 @@ class QueryEngine:
             live = []
         if not live:
             return self.spark.createDataFrame([], "doc_shard int, doc_id long")
+        neg = sorted({stored for _f, stored in
+                      (self._parse_term(t) for t in exclude)})
+        live_set = set(live)
         n_required = len(live) if mode == "and" else 1
 
         from archivesspace_virgo_spark import codec  # re-imported on workers
@@ -627,20 +813,28 @@ class QueryEngine:
             if pdf.empty:
                 return empty
             shard = int(pdf["doc_shard"].iloc[0])
-            ids = [codec.delta_decode(codec.varbyte_decode(blob))
-                   for blob in pdf["doc_blob"]]
+            ids, neg_ids = [], []
+            for t, blob in zip(pdf["term"], pdf["doc_blob"]):
+                d = codec.delta_decode(codec.varbyte_decode(blob))
+                if t in live_set:
+                    ids.append(d)
+                if neg and t in neg:
+                    neg_ids.append(d)
             allids = np.concatenate(ids) if ids else np.empty(0, np.int64)
             if allids.size == 0:
                 return empty
             uniq_ids, counts = np.unique(allids, return_counts=True)
             hit = uniq_ids[counts >= n_required]
+            if neg_ids:
+                hit = np.setdiff1d(hit, np.concatenate(neg_ids),
+                                   assume_unique=False)
             return pd.DataFrame({
                 "doc_shard": np.full(hit.size, shard, dtype=np.int32),
                 "doc_id": hit.astype(np.int64),
             })
 
-        postings = self._postings_df().filter(F.col("term").isin(live))
-        return postings.select("doc_shard", "doc_blob").groupBy(
+        postings = self._postings_df().filter(F.col("term").isin(live + neg))
+        return postings.select("doc_shard", "term", "doc_blob").groupBy(
             "doc_shard"
         ).applyInPandas(matcher, schema="doc_shard int, doc_id long")
 
@@ -653,8 +847,8 @@ class QueryEngine:
     # semi-join + partial-agg count keeps every stage partition-local until
     # the final one-row-per-facet-value merge. ---
     def facet_search(self, terms: Sequence[str], field: str,
-                     mode: str = "or") -> DataFrame:
-        hits = self.match_ids(terms, mode=mode).select("doc_id")
+                     mode: str = "or", exclude: Sequence[str] = ()) -> DataFrame:
+        hits = self.match_ids(terms, mode=mode, exclude=exclude).select("doc_id")
         dm = self.storage.read(self.spark, "doc_map")
         return (
             dm.join(hits, "doc_id", "left_semi")

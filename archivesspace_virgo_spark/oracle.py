@@ -148,16 +148,22 @@ def oracle_search(
     k1: float = 1.2,
     b: float = 0.75,
     mode: str = "or",
+    exclude: Sequence[str] = (),
 ) -> List[Tuple[int, float]]:
     """Brute-force BM25 top-k. mode='and' requires all terms present.
 
     Ties broken by ascending doc_id; summation over terms in sorted-term
     order with float64 (the engine fixes the same accumulation order).
+    ``exclude``: MUST_NOT terms — a doc containing any of them is dropped;
+    surviving scores are unchanged (MUST_NOT never contributes to scoring).
     """
     uniq_terms = sorted(set(terms))
+    neg = set(exclude)
     idfs = {t: idf(index.n_docs, index.df.get(t, 0)) for t in uniq_terms}
     scored: List[Tuple[int, float]] = []
     for doc_id, tfs, dl in zip(index.doc_ids, index.doc_tfs, index.doc_lens):
+        if neg and any(t in tfs for t in neg):
+            continue
         present = [t for t in uniq_terms if t in tfs]
         if not present:
             continue
