@@ -6,8 +6,10 @@ this engine.  Built for ``spark-submit --py-files pkg.zip -m`` or plain
     build   --corpus DIR|--table DIR --index DIR [--fields a,b] [--validate]
     sync    --table DIR --index DIR            (snapshot-diff incremental)
     query   --index DIR --terms t1,t2 [--mode or|and] [-k N] [--offset N]
+            [--exclude t3,t4]
     phrase  --index DIR --phrase "exact phrase" [-k N]
-    facet   --index DIR --terms t1,t2 --field lang
+    facet   --index DIR --terms t1,t2 --field lang [--exclude t3]
+    suggest --index DIR --term tble [-n N]
 
 Results print as TSV to stdout; exit code is 0 on success (the reference
 exits nonzero on any record error — ``build --validate`` mirrors that by
@@ -58,7 +60,7 @@ def main(argv=None) -> int:
     s.add_argument("--fields", default="content")
     s.add_argument("--docs-per-shard", type=int, default=4096)
 
-    for name in ("query", "phrase", "facet"):
+    for name in ("query", "phrase", "facet", "suggest"):
         q = sub.add_parser(name)
         q.add_argument("--index", required=True)
         q.add_argument("--fields", default="content")
@@ -68,11 +70,19 @@ def main(argv=None) -> int:
             q.add_argument("--terms", required=True)
             q.add_argument("--mode", default="or", choices=["or", "and"])
             q.add_argument("--offset", type=int, default=0)
+            q.add_argument("--exclude", default="",
+                           help="MUST_NOT terms, comma-separated")
         elif name == "phrase":
             q.add_argument("--phrase", required=True)
-        else:
+        elif name == "facet":
             q.add_argument("--terms", required=True)
             q.add_argument("--field", required=True)
+            q.add_argument("--exclude", default="",
+                           help="MUST_NOT terms, comma-separated")
+        else:
+            q.add_argument("--term", required=True)
+            q.add_argument("-n", type=int, default=5)
+            q.add_argument("--max-edits", type=int, default=2)
 
     a = p.parse_args(argv)
     cfg = IndexConfig(
@@ -148,13 +158,20 @@ def main(argv=None) -> int:
 
         engine = QueryEngine(spark, a.index, cfg)
         if a.cmd == "query":
+            excl = [t for t in a.exclude.split(",") if t]
             _print_df(engine.search(
-                a.terms.split(","), k=a.k, mode=a.mode, offset=a.offset
+                a.terms.split(","), k=a.k, mode=a.mode, offset=a.offset,
+                exclude=excl,
             ))
         elif a.cmd == "phrase":
             _print_df(engine.phrase_search(a.phrase, k=a.k))
+        elif a.cmd == "facet":
+            excl = [t for t in a.exclude.split(",") if t]
+            _print_df(engine.facet_search(
+                a.terms.split(","), a.field, exclude=excl
+            ))
         else:
-            _print_df(engine.facet_search(a.terms.split(","), a.field))
+            _print_df(engine.suggest(a.term, n=a.n, max_edits=a.max_edits))
         return 0
     finally:
         spark.stop()

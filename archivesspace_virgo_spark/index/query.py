@@ -299,7 +299,8 @@ class QueryEngine:
 
     # --- the headline operator: BM25 top-k (T6/T7/T8) ---
     def search(self, terms: Sequence[str], k: int = 10, mode: str = "or",
-               offset: int = 0, exclude: Sequence[str] = ()) -> DataFrame:
+               offset: int = 0, exclude: Sequence[str] = (),
+               boosts: Optional[dict] = None) -> DataFrame:
         """Returns DataFrame(doc_id long, score double), ordered, ≤ k rows.
 
         ``offset`` is Solr's cursor paging (``start=N&rows=k``,
@@ -313,7 +314,12 @@ class QueryEngine:
         their unchanged positive-clause BM25 score (a pure filter — MUST_NOT
         clauses never contribute to scoring).  Excluded terms need no
         lexicon lookup: their postings rows ride the same per-shard Arrow
-        batch and become a shard-local boolean mask."""
+        batch and become a shard-local boolean mask.
+
+        ``boosts`` is Lucene's BoostQuery (Solr ``q=term^2``): a
+        {term: weight} map multiplying that clause's score contribution.
+        Implemented as an idf multiplier, so the per-term pruning upper
+        bounds scale with it and MaxScore/WAND stays exact."""
         parsed = {self._parse_term(t) for t in terms}
         uniq = sorted(stored for _f, stored in parsed)
         fields = {stored: f for f, stored in parsed}
@@ -325,9 +331,15 @@ class QueryEngine:
             return self.spark.createDataFrame([], "doc_id long, score double")
         neg = sorted({stored for _f, stored in
                       (self._parse_term(t) for t in exclude)})
+        boost_of = {}
+        for t, w in (boosts or {}).items():
+            _f, stored = self._parse_term(t)
+            boost_of[stored] = float(w)
         # idf from the term's OWN field corpus (per-field N and avgdl)
         idfs = [
-            lucene_idf(self.field_stats[fields[t]][0], stats[t][0]) for t in live
+            lucene_idf(self.field_stats[fields[t]][0], stats[t][0])
+            * boost_of.get(t, 1.0)
+            for t in live
         ]
         avgdls = [self.field_stats[fields[t]][1] for t in live]
 
@@ -777,6 +789,15 @@ class QueryEngine:
             .select("doc_id", "score", "snippet_start", "snippet_end",
                     "n_matched")
         )
+
+    # --- total-hits count (Solr numFound: every response the reference
+    # iterates carries it, SolrHelper.java:43-66) ---
+    def count(self, terms: Sequence[str], mode: str = "or",
+              exclude: Sequence[str] = ()) -> int:
+        """Exact result-set size without ranking: the unranked match set's
+        partial-aggregated count — one map pass per shard, no sort, cost
+        independent of how many docs match."""
+        return self.match_ids(terms, mode=mode, exclude=exclude).count()
 
     # --- unranked boolean match set (the facet/count primitive) ---
     def match_ids(self, terms: Sequence[str], mode: str = "or",

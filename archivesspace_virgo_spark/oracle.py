@@ -149,6 +149,7 @@ def oracle_search(
     b: float = 0.75,
     mode: str = "or",
     exclude: Sequence[str] = (),
+    boosts=None,
 ) -> List[Tuple[int, float]]:
     """Brute-force BM25 top-k. mode='and' requires all terms present.
 
@@ -156,10 +157,16 @@ def oracle_search(
     order with float64 (the engine fixes the same accumulation order).
     ``exclude``: MUST_NOT terms — a doc containing any of them is dropped;
     surviving scores are unchanged (MUST_NOT never contributes to scoring).
+    ``boosts``: {term: weight} BoostQuery multiplier on that clause's
+    contribution (applied to idf, same as the engine).
     """
     uniq_terms = sorted(set(terms))
     neg = set(exclude)
-    idfs = {t: idf(index.n_docs, index.df.get(t, 0)) for t in uniq_terms}
+    boosts = boosts or {}
+    idfs = {
+        t: idf(index.n_docs, index.df.get(t, 0)) * float(boosts.get(t, 1.0))
+        for t in uniq_terms
+    }
     scored: List[Tuple[int, float]] = []
     for doc_id, tfs, dl in zip(index.doc_ids, index.doc_tfs, index.doc_lens):
         if neg and any(t in tfs for t in neg):

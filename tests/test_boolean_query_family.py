@@ -114,6 +114,60 @@ def test_facet_search_exclusion(built, spark):
     assert got == exp
 
 
+# --- boosts (Lucene BoostQuery / Solr q=term^2) ---
+
+@pytest.mark.parametrize("boosts", [
+    {"window": 3.0},
+    {"spark": 0.25, "window": 2.0},
+])
+def test_boost_rank_identity(built, boosts):
+    engine, oracle, _ = built
+    got = _rows(engine.search(["spark", "window"], k=10, boosts=boosts))
+    exp = _exp(oracle_search(oracle, ["spark", "window"], k=10, boosts=boosts))
+    assert got == exp
+
+
+def test_boost_one_is_identity(built):
+    engine, _, _ = built
+    assert _rows(engine.search(["spark", "window"], k=10,
+                               boosts={"spark": 1.0})) == _rows(
+        engine.search(["spark", "window"], k=10)
+    )
+
+
+def test_boost_reweights_ranking(built):
+    # heavily boosting one clause must pull its best doc to the top
+    engine, _, _ = built
+    best_window = _rows(engine.search(["window"], k=1))[0][0]
+    boosted = _rows(engine.search(["spark", "window"], k=1,
+                                  boosts={"window": 100.0}))
+    assert boosted[0][0] == best_window
+
+
+def test_boost_composes_with_exclude(built):
+    engine, oracle, _ = built
+    got = _rows(engine.search(["spark", "window"], k=10,
+                              boosts={"window": 2.0}, exclude=["merge"]))
+    exp = _exp(oracle_search(oracle, ["spark", "window"], k=10,
+                             boosts={"window": 2.0}, exclude=["merge"]))
+    assert got == exp
+
+
+# --- count (Solr numFound) ---
+
+def test_count_matches_brute_force(built):
+    engine, oracle, _ = built
+    exp = sum(1 for tfs in oracle.doc_tfs if "spark" in tfs)
+    assert engine.count(["spark"]) == exp
+    exp_and = sum(1 for tfs in oracle.doc_tfs
+                  if "spark" in tfs and "window" in tfs)
+    assert engine.count(["spark", "window"], mode="and") == exp_and
+    exp_not = sum(1 for tfs in oracle.doc_tfs
+                  if "spark" in tfs and "merge" not in tfs)
+    assert engine.count(["spark"], exclude=["merge"]) == exp_not
+    assert engine.count(["zzznope"]) == 0
+
+
 # --- wildcard ---
 
 def test_wildcard_question_mark(built):

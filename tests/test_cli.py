@@ -50,3 +50,13 @@ def test_cli_build_query_phrase_facet(tmp_path):
              "--field", "lang", "--docs-per-shard", "64")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "facet_count" in r.stdout
+
+    r = _run("query", "--index", idx, "--terms", "table,join",
+             "--exclude", "merge", "--docs-per-shard", "64", "-k", "3")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "doc_id" in r.stdout
+
+    r = _run("suggest", "--index", idx, "--term", "tble",
+             "--docs-per-shard", "64", "-n", "3")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "table" in r.stdout and "distance" in r.stdout
