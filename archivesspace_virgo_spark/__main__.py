@@ -7,6 +7,8 @@ this engine.  Built for ``spark-submit --py-files pkg.zip -m`` or plain
     sync    --table DIR --index DIR            (snapshot-diff incremental)
     query   --index DIR --terms t1,t2 [--mode or|and] [-k N] [--offset N]
             [--exclude t3,t4]
+    search  --index DIR --q 'spark -stream s*^2' [-k N] [--offset N]
+            (full Solr q= string syntax, one parse + dispatch)
     phrase  --index DIR --phrase "exact phrase" [-k N]
     facet   --index DIR --terms t1,t2 --field lang [--exclude t3]
     suggest --index DIR --term tble [-n N]
@@ -60,7 +62,7 @@ def main(argv=None) -> int:
     s.add_argument("--fields", default="content")
     s.add_argument("--docs-per-shard", type=int, default=4096)
 
-    for name in ("query", "phrase", "facet", "suggest"):
+    for name in ("query", "search", "phrase", "facet", "suggest"):
         q = sub.add_parser(name)
         q.add_argument("--index", required=True)
         q.add_argument("--fields", default="content")
@@ -72,6 +74,11 @@ def main(argv=None) -> int:
             q.add_argument("--offset", type=int, default=0)
             q.add_argument("--exclude", default="",
                            help="MUST_NOT terms, comma-separated")
+        elif name == "search":
+            q.add_argument("--q", required=True,
+                           help="Solr q= string (phrases, -must_not, "
+                                "boosts, pre*/te?t/term~N//re//[a TO b])")
+            q.add_argument("--offset", type=int, default=0)
         elif name == "phrase":
             q.add_argument("--phrase", required=True)
         elif name == "facet":
@@ -163,6 +170,8 @@ def main(argv=None) -> int:
                 a.terms.split(","), k=a.k, mode=a.mode, offset=a.offset,
                 exclude=excl,
             ))
+        elif a.cmd == "search":
+            _print_df(engine.query(a.q, k=a.k, offset=a.offset))
         elif a.cmd == "phrase":
             _print_df(engine.phrase_search(a.phrase, k=a.k))
         elif a.cmd == "facet":

@@ -390,6 +390,15 @@ class QueryEngine:
             self._term_cache[r["term"]] = (int(r["df"]), int(r["cf"]))
         return [r["term"] for r in rows]
 
+    def _expand_prefix(self, prefix: str, max_expansions: int) -> List[str]:
+        bare = prefix[:-1] if prefix.endswith("*") else prefix
+        _field, stored = self._parse_term(bare)
+        # stored default-field terms never contain ':' (the tokenizer strips
+        # non-alphanumerics), so a bare prefix cannot match scoped terms
+        return self._expand(
+            F.col("term").startswith(stored), max_expansions, f"prefix '{prefix}'"
+        )
+
     def prefix_search(self, prefix: str, k: int = 10, offset: int = 0,
                       max_expansions: int = 1024) -> DataFrame:
         """Lucene PrefixQuery (Solr ``q=pre*``): expand the prefix against
@@ -397,16 +406,18 @@ class QueryEngine:
 
         A trailing ``*`` is accepted and stripped; ``field:pre*`` scopes the
         expansion to that field's terms (stored as ``field:term``)."""
-        bare = prefix[:-1] if prefix.endswith("*") else prefix
-        _field, stored = self._parse_term(bare)
-        # stored default-field terms never contain ':' (the tokenizer strips
-        # non-alphanumerics), so a bare prefix cannot match scoped terms
-        terms = self._expand(
-            F.col("term").startswith(stored), max_expansions, f"prefix '{prefix}'"
-        )
+        terms = self._expand_prefix(prefix, max_expansions)
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
         return self.search(terms, k=k, mode="or", offset=offset)
+
+    def _expand_fuzzy(self, term: str, max_edits: int, prefix_length: int,
+                      max_expansions: int) -> List[str]:
+        _field, stored = self._parse_term(term)
+        pred = F.levenshtein(F.col("term"), F.lit(stored)) <= max_edits
+        if prefix_length > 0:
+            pred = pred & F.col("term").startswith(stored[:prefix_length])
+        return self._expand(pred, max_expansions, f"fuzzy '{term}'")
 
     def fuzzy_search(self, term: str, k: int = 10, max_edits: int = 1,
                      prefix_length: int = 0, offset: int = 0,
@@ -417,14 +428,24 @@ class QueryEngine:
         the expansion as a boolean OR.  ``max_expansions`` defaults to
         Lucene's 50, but over-budget expansion raises (deterministic)
         instead of Lucene's silent keep-top-N-by-df truncation."""
-        _field, stored = self._parse_term(term)
-        pred = F.levenshtein(F.col("term"), F.lit(stored)) <= max_edits
-        if prefix_length > 0:
-            pred = pred & F.col("term").startswith(stored[:prefix_length])
-        terms = self._expand(pred, max_expansions, f"fuzzy '{term}'")
+        terms = self._expand_fuzzy(term, max_edits, prefix_length,
+                                   max_expansions)
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
         return self.search(terms, k=k, mode="or", offset=offset)
+
+    def _expand_wildcard(self, pattern: str, max_expansions: int) -> List[str]:
+        import re as _re
+
+        _field, stored = self._parse_term(pattern)
+        rx = "".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in stored
+        )
+        return self._expand(
+            F.col("term").rlike(f"^{rx}$"), max_expansions,
+            f"wildcard '{pattern}'",
+        )
 
     def wildcard_search(self, pattern: str, k: int = 10, offset: int = 0,
                         max_expansions: int = 1024) -> DataFrame:
@@ -433,27 +454,12 @@ class QueryEngine:
         against the lexicon (a distributed filter — a leading wildcard is
         allowed, it just can't use the prefix rowgroup stats) and scores
         the expansion as a boolean OR."""
-        import re as _re
-
-        _field, stored = self._parse_term(pattern)
-        rx = "".join(
-            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
-            for ch in stored
-        )
-        terms = self._expand(
-            F.col("term").rlike(f"^{rx}$"), max_expansions,
-            f"wildcard '{pattern}'",
-        )
+        terms = self._expand_wildcard(pattern, max_expansions)
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
         return self.search(terms, k=k, mode="or", offset=offset)
 
-    def regexp_search(self, regex: str, k: int = 10, offset: int = 0,
-                      max_expansions: int = 1024) -> DataFrame:
-        """Lucene RegexpQuery (Solr ``q=/regex/``): the regex is anchored to
-        the WHOLE term (Lucene's contract — ``/ab.*/`` matches terms, not
-        substrings), expanded against the lexicon, scored as a boolean OR.
-        ``field:regex`` scopes to that field's terms."""
+    def _expand_regexp(self, regex: str, max_expansions: int) -> List[str]:
         _field, stored = self._parse_term(regex)
         if _field != self.config.fields[0]:
             fld, body = stored.split(":", 1)
@@ -461,9 +467,17 @@ class QueryEngine:
             rx = f"{_re.escape(fld)}:(?:{body})"
         else:
             rx = f"(?:{stored})"
-        terms = self._expand(
+        return self._expand(
             F.col("term").rlike(f"^{rx}$"), max_expansions, f"regexp '{regex}'"
         )
+
+    def regexp_search(self, regex: str, k: int = 10, offset: int = 0,
+                      max_expansions: int = 1024) -> DataFrame:
+        """Lucene RegexpQuery (Solr ``q=/regex/``): the regex is anchored to
+        the WHOLE term (Lucene's contract — ``/ab.*/`` matches terms, not
+        substrings), expanded against the lexicon, scored as a boolean OR.
+        ``field:regex`` scopes to that field's terms."""
+        terms = self._expand_regexp(regex, max_expansions)
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
         return self.search(terms, k=k, mode="or", offset=offset)
@@ -479,6 +493,15 @@ class QueryEngine:
         the default field excludes scoped ``field:term`` entries (stored
         default-field terms never contain ``:``); a non-default field
         compares on the bare term under its ``field:`` prefix."""
+        terms = self._expand_range(lo, hi, include_lo, include_hi, field,
+                                   max_expansions)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search(terms, k=k, mode="or", offset=offset)
+
+    def _expand_range(self, lo: Optional[str], hi: Optional[str],
+                      include_lo: bool, include_hi: bool,
+                      field: Optional[str], max_expansions: int) -> List[str]:
         default = self.config.fields[0]
         field = field or default
         if field == default:
@@ -491,12 +514,55 @@ class QueryEngine:
             pred = pred & (cmp_col >= lo if include_lo else cmp_col > lo)
         if hi is not None:
             pred = pred & (cmp_col <= hi if include_hi else cmp_col < hi)
-        terms = self._expand(
-            pred, max_expansions, f"term range [{lo} TO {hi}]"
-        )
+        return self._expand(pred, max_expansions, f"term range [{lo} TO {hi}]")
+
+    # --- Solr q= string entry point (the select-handler surface the
+    # reference drives: SolrHelper.getRecordsForQuery builds q= strings like
+    # ``user_mtime:[NOW-24HOUR TO NOW] AND types:repository``,
+    # SolrHelper.java:39-80, IndexRecords.java:124-132,174) ---
+    def query(self, q: str, k: int = 10, offset: int = 0,
+              max_expansions: int = 1024) -> DataFrame:
+        """Parse a Lucene standard-syntax query string and score it.
+
+        One parse (``query_parser.parse_query``), one dispatch: a phrase
+        clause routes to ``phrase_search``; multi-term clauses (prefix /
+        wildcard / fuzzy / regexp / term-range) expand against the lexicon
+        (Lucene SCORING_BOOLEAN_REWRITE — each expanded term scores with
+        its own idf) and merge with the literal terms into a single
+        ``search`` call carrying the parsed occurs (MUST_NOT → ``exclude``)
+        and per-term boosts.  ``AND`` connectives (q.op=AND) are supported
+        for literal-term queries only — Lucene ANDs *clauses* while OR-ing
+        each clause's expansion, which a flat term list can't express, so
+        that combination raises instead of mis-scoring."""
+        from archivesspace_virgo_spark.index.query_parser import parse_query
+
+        pq = parse_query(q)
+        if pq.phrase is not None:
+            return self.phrase_search(pq.phrase, k=k, field=pq.phrase_field,
+                                      offset=offset)
+        expanded: List[str] = []
+        for p in pq.prefixes:
+            expanded += self._expand_prefix(p, max_expansions)
+        for w in pq.wildcards:
+            expanded += self._expand_wildcard(w, max_expansions)
+        for t, edits in pq.fuzzies:
+            expanded += self._expand_fuzzy(t, edits, 0, max_expansions)
+        for rx in pq.regexps:
+            expanded += self._expand_regexp(rx, max_expansions)
+        for lo, hi, ilo, ihi, fld in pq.ranges:
+            expanded += self._expand_range(lo, hi, ilo, ihi, fld,
+                                           max_expansions)
+        if pq.mode == "and" and expanded:
+            raise ValueError(
+                "AND with multi-term clauses is not supported: Lucene "
+                "requires each CLAUSE (OR-ing its expansion), which a flat "
+                "term list cannot express"
+            )
+        terms = list(pq.terms) + expanded
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        return self.search(terms, k=k, mode="or", offset=offset)
+        return self.search(terms, k=k, mode=pq.mode, offset=offset,
+                           exclude=pq.exclude, boosts=pq.boosts or None)
 
     # --- spell suggestion (Lucene DirectSpellChecker / Solr spellcheck
     # component — the did-you-mean surface of the select handler the
