@@ -104,6 +104,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_rare"] = _q_bm25("or", TERMS_RARE)
     q["bm25_engine_topk"] = _q_bm25_engine(TERMS_OR)
 
+    def q_bm25_boost_exclude(spark, sf_dir):
+        # Lucene BoostQuery + BooleanClause.MUST_NOT through the real engine
+        # (q = spark^2 window merge -table): boost scales the term's idf so
+        # pruning bounds stay exact; exclusion is a shard-local mask
+        res = _engine_for(spark, sf_dir).search(
+            TERMS_OR, k=K, exclude=["table"], boosts={"spark": 2.0}
+        )
+        return res.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+    q["bm25_boost_exclude"] = q_bm25_boost_exclude
+
     def q_bm25_field_scoped(spark, sf_dir):
         # SURVEY §2.8-T10: Solr-style field-scoped clause (lang:en) AND a
         # content term, through the compressed-index engine with per-field
@@ -354,30 +364,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["schema_migrate_v4"] = q_schema_migrate
 
     def q_natural_sort(spark, sf_dir):
-        p = spark.read.parquet(f"{sf_dir}/part.parquet")
-        return p.select("p_partkey", E.natural_sort_key("p_name").alias("nat_key"))
-    q["natural_sort_key"] = q_natural_sort
-
-    def q_natural_sort_frac(spark, sf_dir):
-        # O1 faithful variant: leading-zero runs order fractionally
-        # (StringNaturalCompare.java:57-82); labels synthesized with and
-        # without leading zeros so the branch is exercised
+        # O1, both branches in one row set: nat_key = the plain strnatcmp
+        # key over p_name; frac_key = the fractional (leading-zero,
+        # StringNaturalCompare.java:57-82) variant over labels synthesized
+        # with and without leading zeros so that branch is exercised.
+        # Driver wire format: the array<string> run key is joined with the
+        # unit separator (chr(31) < '0' < every key byte), which preserves
+        # element-wise ordering exactly; array semantics + ordering are
+        # hypothesis-tested vs the strnatcmp comparator in
+        # tests/test_natural_order.py
         p = spark.read.parquet(f"{sf_dir}/part.parquet")
         num = (F.col("p_partkey") % 50).cast("string")
         label = F.concat(
             F.lit("Box "),
             F.when(F.col("p_partkey") % 4 == 0, F.lpad(num, 3, "0")).otherwise(num),
         )
-        # driver wire format: the array<string> run key is joined with the
-        # unit separator (chr(31) < '0' < every key byte), which preserves
-        # element-wise ordering exactly; array semantics + ordering are
-        # hypothesis-tested vs the strnatcmp comparator in
-        # tests/test_natural_order.py
         return p.select(
-            "p_partkey", label.alias("label"),
-            F.array_join(E.natural_sort_key_frac(label), "\x1f").alias("nat_key"),
+            "p_partkey",
+            E.natural_sort_key("p_name").alias("nat_key"),
+            label.alias("label"),
+            F.array_join(E.natural_sort_key_frac(label), "\x1f").alias("frac_key"),
         )
-    q["natural_sort_fractional"] = q_natural_sort_frac
+    q["natural_sort_key"] = q_natural_sort
 
     def q_scalar_etl_orders(spark, sf_dir):
         # consolidated per-orderkey scalar operators (one driver row, five
@@ -716,8 +724,8 @@ def oracle_sql() -> dict[str, str]:
 
     o: dict[str, str] = {}
 
-    def bm25_micro(terms, mode):
-        inner = bm25_oracle_sql(terms, k=K, mode=mode)
+    def bm25_micro(terms, mode, **kw):
+        inner = bm25_oracle_sql(terms, k=K, mode=mode, **kw)
         return (
             f"SELECT doc_id, {micro('score')} AS score_micro FROM ({inner}) t"
         )
@@ -726,6 +734,9 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk_and"] = bm25_micro(TERMS_AND, "and")
     o["bm25_topk_rare"] = bm25_micro(TERMS_RARE, "or")
     o["bm25_engine_topk"] = bm25_micro(TERMS_OR, "or")
+    o["bm25_boost_exclude"] = bm25_micro(
+        TERMS_OR, "or", boosts={"spark": 2.0}, exclude=["table"]
+    )
 
     # field-scoped AND: content BM25 for 'table' + lang-field contribution.
     # The lang field tokenizes to exactly one token per doc -> dl=1, avgdl=1,
@@ -994,16 +1005,13 @@ SELECT 'archival' AS pool_f,
 FROM v3
 """
 
-    o["natural_sort_key"] = (
-        f"SELECT p_partkey, {E.natural_sort_key_sql('p_name')} AS nat_key FROM part"
-    )
     frac_label = ("'Box ' || (CASE WHEN p_partkey % 4 = 0 "
                   "THEN lpad(CAST(p_partkey % 50 AS VARCHAR), 3, '0') "
                   "ELSE CAST(p_partkey % 50 AS VARCHAR) END)")
-    o["natural_sort_fractional"] = f"""
-WITH lab AS (SELECT p_partkey, {frac_label} AS label FROM part)
-SELECT p_partkey, label,
-       array_to_string({E.natural_sort_key_frac_sql('label')}, chr(31)) AS nat_key
+    o["natural_sort_key"] = f"""
+WITH lab AS (SELECT p_partkey, p_name, {frac_label} AS label FROM part)
+SELECT p_partkey, {E.natural_sort_key_sql('p_name')} AS nat_key, label,
+       array_to_string({E.natural_sort_key_frac_sql('label')}, chr(31)) AS frac_key
 FROM lab
 """
 

@@ -17,7 +17,7 @@ can't break the value-hash compare; ordering uses the unrounded score.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -152,11 +152,31 @@ def bm25_oracle_sql(
     k1: float = K1,
     b: float = B,
     offset: int = 0,
+    boosts: Optional[dict] = None,
+    exclude: Sequence[str] = (),
 ) -> str:
-    """DuckDB SQL computing the identical top-k (driver oracle)."""
+    """DuckDB SQL computing the identical top-k (driver oracle).
+
+    ``boosts`` mirrors the engine's BoostQuery contract (idf multiplier per
+    term); ``exclude`` mirrors MUST_NOT (docs containing ANY excluded term
+    are dropped, scores of survivors unchanged)."""
     uniq = sorted(set(terms))
     terms_sql = ", ".join(f"'{t}'" for t in uniq)
     having = f"HAVING count(*) = {len(uniq)}" if mode == "and" else ""
+    boosts = boosts or {}
+    boost_sql = "1.0"
+    if boosts:
+        cases = " ".join(
+            f"WHEN term = '{t}' THEN {float(w)!r}" for t, w in boosts.items()
+        )
+        boost_sql = f"(CASE {cases} ELSE 1.0 END)"
+    not_filter = ""
+    if exclude:
+        excl_sql = ", ".join(f"'{t}'" for t in sorted(set(exclude)))
+        not_filter = (
+            "WHERE tf.doc_id NOT IN "
+            f"(SELECT DISTINCT doc_id FROM tok WHERE term IN ({excl_sql}))"
+        )
     return f"""
 WITH tok AS (
   SELECT {id_col} AS doc_id,
@@ -170,15 +190,17 @@ stats AS (
   FROM (SELECT d.{id_col} AS doc_id, coalesce(dl.dl, 0) AS dl
         FROM {table} d LEFT JOIN dl ON d.{id_col} = dl.doc_id)
 ),
-dft AS (SELECT term, count(*) AS df FROM tf WHERE term IN ({terms_sql}) GROUP BY 1),
+dft AS (SELECT term, {boost_sql} AS boost, count(*) AS df
+        FROM tf WHERE term IN ({terms_sql}) GROUP BY 1, 2),
 scored AS (
   SELECT tf.doc_id,
-         sum( ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         sum( dft.boost * ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
               * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / stats.avgdl)) ) AS _score
   FROM tf
   JOIN dft ON tf.term = dft.term
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats
+  {not_filter}
   GROUP BY tf.doc_id
   {having}
 )
