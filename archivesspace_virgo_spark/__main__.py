@@ -6,7 +6,7 @@ this engine.  Built for ``spark-submit --py-files pkg.zip -m`` or plain
     build   --corpus DIR|--table DIR --index DIR [--fields a,b] [--validate]
     sync    --table DIR --index DIR            (snapshot-diff incremental)
     query   --index DIR --terms t1,t2 [--mode or|and] [-k N] [--offset N]
-            [--exclude t3,t4]
+            [--exclude t3,t4] [--mm N]
     search  --index DIR --q 'spark -stream s*^2' [-k N] [--offset N]
             (full Solr q= string syntax, one parse + dispatch)
     phrase  --index DIR --phrase "exact phrase" [-k N]
@@ -74,6 +74,8 @@ def main(argv=None) -> int:
             q.add_argument("--offset", type=int, default=0)
             q.add_argument("--exclude", default="",
                            help="MUST_NOT terms, comma-separated")
+            q.add_argument("--mm", type=int, default=1,
+                           help="minimum-should-match (Solr mm)")
         elif name == "search":
             q.add_argument("--q", required=True,
                            help="Solr q= string (phrases, -must_not, "
@@ -168,7 +170,7 @@ def main(argv=None) -> int:
             excl = [t for t in a.exclude.split(",") if t]
             _print_df(engine.search(
                 a.terms.split(","), k=a.k, mode=a.mode, offset=a.offset,
-                exclude=excl,
+                exclude=excl, min_should_match=a.mm,
             ))
         elif a.cmd == "search":
             _print_df(engine.query(a.q, k=a.k, offset=a.offset))

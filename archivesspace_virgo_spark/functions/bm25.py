@@ -154,15 +154,22 @@ def bm25_oracle_sql(
     offset: int = 0,
     boosts: Optional[dict] = None,
     exclude: Sequence[str] = (),
+    min_should_match: int = 1,
 ) -> str:
     """DuckDB SQL computing the identical top-k (driver oracle).
 
     ``boosts`` mirrors the engine's BoostQuery contract (idf multiplier per
     term); ``exclude`` mirrors MUST_NOT (docs containing ANY excluded term
-    are dropped, scores of survivors unchanged)."""
+    are dropped, scores of survivors unchanged); ``min_should_match``
+    mirrors Solr mm (≥ m distinct matched terms required)."""
     uniq = sorted(set(terms))
     terms_sql = ", ".join(f"'{t}'" for t in uniq)
-    having = f"HAVING count(*) = {len(uniq)}" if mode == "and" else ""
+    if mode == "and":
+        having = f"HAVING count(*) = {len(uniq)}"
+    elif min_should_match > 1:
+        having = f"HAVING count(*) >= {min_should_match}"
+    else:
+        having = ""
     boosts = boosts or {}
     boost_sql = "1.0"
     if boosts:
@@ -203,6 +210,81 @@ scored AS (
   {not_filter}
   GROUP BY tf.doc_id
   {having}
+)
+SELECT doc_id, round(_score, {ROUND}) AS score
+FROM scored
+ORDER BY _score DESC, doc_id ASC
+LIMIT {k} OFFSET {offset}
+"""
+
+
+def bm25_boolean_oracle_sql(
+    clauses: Sequence[Sequence[str]],
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    offset: int = 0,
+    boosts: Optional[dict] = None,
+    exclude: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of ``QueryEngine.boolean_search``: AND of clauses, each
+    an OR over its terms.  A doc qualifies when every clause has ≥1 matched
+    term (bool_or per clause in HAVING); a term in m clauses contributes m
+    times (the engine's m× idf multiplier)."""
+    mult: dict = {}
+    for cl in clauses:
+        for t in sorted(set(cl)):
+            mult[t] = mult.get(t, 0) + 1
+    uniq = sorted(mult)
+    terms_sql = ", ".join(f"'{t}'" for t in uniq)
+    boosts = boosts or {}
+    weight_cases = " ".join(
+        f"WHEN term = '{t}' THEN {float(mult[t] * boosts.get(t, 1.0))!r}"
+        for t in uniq
+    )
+    weight_sql = f"(CASE {weight_cases} ELSE 1.0 END)"
+    cover = " AND ".join(
+        "bool_or(tf.term IN (%s))" % ", ".join(
+            f"'{t}'" for t in sorted(set(cl))
+        )
+        for cl in clauses
+    )
+    not_filter = ""
+    if exclude:
+        excl_sql = ", ".join(f"'{t}'" for t in sorted(set(exclude)))
+        not_filter = (
+            "WHERE tf.doc_id NOT IN "
+            f"(SELECT DISTINCT doc_id FROM tok WHERE term IN ({excl_sql}))"
+        )
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS doc_id,
+         unnest(list_filter(string_split_regex(lower({text_col}), '{TOKEN_SPLIT_PATTERN}'), t -> t <> '')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT d.{id_col} AS doc_id, coalesce(dl.dl, 0) AS dl
+        FROM {table} d LEFT JOIN dl ON d.{id_col} = dl.doc_id)
+),
+dft AS (SELECT term, {weight_sql} AS weight, count(*) AS df
+        FROM tf WHERE term IN ({terms_sql}) GROUP BY 1, 2),
+scored AS (
+  SELECT tf.doc_id,
+         sum( dft.weight * ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / stats.avgdl)) ) AS _score
+  FROM tf
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  {not_filter}
+  GROUP BY tf.doc_id
+  HAVING {cover}
 )
 SELECT doc_id, round(_score, {ROUND}) AS score
 FROM scored

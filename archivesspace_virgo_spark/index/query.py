@@ -50,6 +50,9 @@ def _make_shard_scorer(
     docs_per_shard: int,
     mode: str,
     neg_terms: Optional[List[str]] = None,
+    min_match: int = 1,
+    term_clauses: Optional[List[List[int]]] = None,
+    n_clauses: int = 0,
 ):
     """Per-shard scoring kernel for cogroup-applyInPandas.
 
@@ -66,11 +69,35 @@ def _make_shard_scorer(
     Float determinism: the per-doc accumulation must match the oracle's
     sorted-term order, so contributions are buffered per term and reduced in
     sorted-term order at the end (float64 addition is order-sensitive).
+
+    Boolean generalizations (both disable MaxScore pruning — its threshold
+    is only valid when every scored doc qualifies):
+
+    - ``min_match`` (Solr minimum-should-match): a doc qualifies only if it
+      matches ≥ min_match distinct query terms.
+    - ``term_clauses``/``n_clauses`` (Lucene BooleanQuery of MUST clauses,
+      each an OR over its expansion, e.g. ``a AND pre*``): term i covers
+      clauses ``term_clauses[i]``; a doc qualifies only if its matched
+      terms cover ALL ``n_clauses`` clauses.  Coverage is a shard-local
+      int64 bitmask (≤63 clauses), so clause tracking adds one
+      ``bitwise_or.at`` scatter per term — no extra decode, no shuffle.
     """
     from archivesspace_virgo_spark import codec  # re-imported on workers
 
     n_query_terms = len(set(terms))
     neg_set = sorted(set(neg_terms or ()))
+    if term_clauses is not None and n_clauses > 63:
+        raise ValueError("boolean queries support at most 63 clauses")
+    clause_bits = None
+    if term_clauses is not None:
+        clause_bits = [
+            np.int64(sum(1 << c for c in set(cs))) for cs in term_clauses
+        ]
+    full_cover = np.int64((1 << n_clauses) - 1) if n_clauses else np.int64(0)
+    # MaxScore pruning is exact ONLY in the flat-OR case: with clause or
+    # min_match qualification, theta computed over all scored docs can
+    # exceed the k-th best QUALIFYING score and wrongly skip postings
+    flat_or = mode == "or" and term_clauses is None and min_match <= 1
 
     def term_bound(row, avgdl: float) -> float:
         max_tf = np.asarray(row.block_max_tf, dtype=np.float64)
@@ -108,6 +135,14 @@ def _make_shard_scorer(
         present = [(i, terms[i]) for i in range(len(terms)) if terms[i] in by_term]
         if mode == "and" and len(present) < n_query_terms:
             return empty
+        if min_match > 1 and len(present) < min_match:
+            return empty
+        if clause_bits is not None:
+            covered = np.int64(0)
+            for i, _t in present:
+                covered |= clause_bits[i]
+            if covered != full_cover:
+                return empty  # a whole clause is absent from this shard
         # process strongest terms first so the pruning threshold rises fast
         ubs = {i: idfs[i] * term_bound(by_term[t], avgdls[i]) for i, t in present}
         order_by_ub = sorted(present, key=lambda it: -ubs[it[0]])
@@ -118,12 +153,16 @@ def _make_shard_scorer(
 
         scores = np.zeros(docs_per_shard, dtype=np.float64)
         seen = np.zeros(docs_per_shard, dtype=np.int32)
+        cl_mask = (
+            np.zeros(docs_per_shard, dtype=np.int64)
+            if clause_bits is not None else None
+        )
         contribs = {}  # term index -> (local, contrib) for deterministic re-sum
         theta = -np.inf
         multi = len(present) > 1
         for i, t in order_by_ub:
             row = by_term[t]
-            prune = mode == "or" and total_rem < theta
+            prune = flat_or and total_rem < theta
             if prune:
                 # WAND-style block skipping: a non-essential term can only
                 # change the scores of docs already seen under an essential
@@ -161,16 +200,22 @@ def _make_shard_scorer(
             contrib = idfs[i] * tfs / (tfs + k1 * (1.0 - b + b * dls / avgdls[i]))
             np.add.at(scores, local, contrib)
             np.add.at(seen, local, 1)
+            if cl_mask is not None:
+                np.bitwise_or.at(cl_mask, local, clause_bits[i])
             if needs_rescore:
                 contribs[i] = (local, contrib)
             total_rem -= ubs[i]
-            if multi and mode == "or" and total_rem > 0:
+            if multi and flat_or and total_rem > 0:
                 nz = scores[scores > 0]
                 if nz.size >= k:
                     theta = np.partition(nz, nz.size - k)[nz.size - k]
 
-        if mode == "and":
+        if cl_mask is not None:
+            cand = np.flatnonzero(cl_mask == full_cover)
+        elif mode == "and":
             cand = np.flatnonzero(seen >= n_query_terms)
+        elif min_match > 1:
+            cand = np.flatnonzero(seen >= min_match)
         else:
             cand = np.flatnonzero(seen > 0)
         if cand.size == 0:
@@ -300,7 +345,8 @@ class QueryEngine:
     # --- the headline operator: BM25 top-k (T6/T7/T8) ---
     def search(self, terms: Sequence[str], k: int = 10, mode: str = "or",
                offset: int = 0, exclude: Sequence[str] = (),
-               boosts: Optional[dict] = None) -> DataFrame:
+               boosts: Optional[dict] = None,
+               min_should_match: int = 1) -> DataFrame:
         """Returns DataFrame(doc_id long, score double), ordered, ≤ k rows.
 
         ``offset`` is Solr's cursor paging (``start=N&rows=k``,
@@ -319,7 +365,13 @@ class QueryEngine:
         ``boosts`` is Lucene's BoostQuery (Solr ``q=term^2``): a
         {term: weight} map multiplying that clause's score contribution.
         Implemented as an idf multiplier, so the per-term pruning upper
-        bounds scale with it and MaxScore/WAND stays exact."""
+        bounds scale with it and MaxScore/WAND stays exact.
+
+        ``min_should_match`` is Solr's mm parameter: a doc qualifies only
+        if it matches at least that many distinct query terms (mm=1 is the
+        plain OR; mm=len(terms) equals AND).  mm>1 disables MaxScore
+        pruning (the threshold would be computed over non-qualifying
+        docs)."""
         parsed = {self._parse_term(t) for t in terms}
         uniq = sorted(stored for _f, stored in parsed)
         fields = {stored: f for f, stored in parsed}
@@ -327,6 +379,8 @@ class QueryEngine:
         live = [t for t in uniq if t in stats]
         if mode == "and" and len(live) != len(uniq):
             live = []  # an absent term empties an AND query
+        if len(live) < max(1, min_should_match):
+            live = []  # mm exceeding the live terms can never be satisfied
         if not live:
             return self.spark.createDataFrame([], "doc_id long, score double")
         neg = sorted({stored for _f, stored in
@@ -356,6 +410,71 @@ class QueryEngine:
         scorer = _make_shard_scorer(
             live, idfs, avgdls, k + offset, self.config.k1, self.config.b,
             self.config.docs_per_shard, mode, neg_terms=neg,
+            min_match=min_should_match,
+        )
+        partials = postings.groupBy("doc_shard").applyInPandas(
+            scorer, schema="doc_id long, score double"
+        )
+        ordered = partials.orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            ordered = ordered.offset(offset)
+        return ordered.limit(k)
+
+    # --- Lucene BooleanQuery of MUST clauses (the reference's compound
+    # query shape: ``getQuery(...) + " AND types:repository"``
+    # IndexRecords.java:174 — each clause may itself be an OR over a
+    # multi-term expansion, which flat AND-of-terms cannot express) ---
+    def boolean_search(self, clauses: Sequence[Sequence[str]], k: int = 10,
+                       offset: int = 0, exclude: Sequence[str] = (),
+                       boosts: Optional[dict] = None) -> DataFrame:
+        """BM25 top-k where a doc must match ≥1 term of EVERY clause.
+
+        Lucene semantics: score = sum over clauses of the clause's matched
+        term contributions; a term appearing in m clauses contributes m
+        times (BooleanQuery does not dedup identical clauses), implemented
+        as an m× idf multiplier.  Composes with ``exclude`` (MUST_NOT) and
+        ``boosts``.  Clause coverage is tracked shard-locally with a
+        bitmask — same single scoring pass, no extra shuffle."""
+        if not clauses:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        term_cl: dict = {}
+        fields: dict = {}
+        for ci, cl in enumerate(clauses):
+            for t in cl:
+                f, stored = self._parse_term(t)
+                term_cl.setdefault(stored, set()).add(ci)
+                fields[stored] = f
+        uniq = sorted(term_cl)
+        stats = self.term_stats(uniq)
+        live = [t for t in uniq if t in stats]
+        covered = set().union(*(term_cl[t] for t in live)) if live else set()
+        if len(covered) < len(clauses):
+            # a clause whose every term is absent can never be satisfied
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        neg = sorted({stored for _f, stored in
+                      (self._parse_term(t) for t in exclude)})
+        boost_of = {}
+        for t, w in (boosts or {}).items():
+            _f, stored = self._parse_term(t)
+            boost_of[stored] = float(w)
+        idfs = [
+            lucene_idf(self.field_stats[fields[t]][0], stats[t][0])
+            * boost_of.get(t, 1.0) * len(term_cl[t])
+            for t in live
+        ]
+        avgdls = [self.field_stats[fields[t]][1] for t in live]
+        postings = self._postings_df().filter(
+            F.col("term").isin(live + neg)
+        ).select(
+            "doc_shard", "term", "doc_blob", "tf_blob", "dl_blob",
+            "block_last_doc", "block_max_tf", "block_min_dl",
+            "block_doc_off", "block_tf_off", "block_dl_off",
+        )
+        scorer = _make_shard_scorer(
+            live, idfs, avgdls, k + offset, self.config.k1, self.config.b,
+            self.config.docs_per_shard, "or", neg_terms=neg,
+            term_clauses=[sorted(term_cl[t]) for t in live],
+            n_clauses=len(clauses),
         )
         partials = postings.groupBy("doc_shard").applyInPandas(
             scorer, schema="doc_id long, score double"
@@ -530,35 +649,35 @@ class QueryEngine:
         (Lucene SCORING_BOOLEAN_REWRITE — each expanded term scores with
         its own idf) and merge with the literal terms into a single
         ``search`` call carrying the parsed occurs (MUST_NOT → ``exclude``)
-        and per-term boosts.  ``AND`` connectives (q.op=AND) are supported
-        for literal-term queries only — Lucene ANDs *clauses* while OR-ing
-        each clause's expansion, which a flat term list can't express, so
-        that combination raises instead of mis-scoring."""
+        and per-term boosts.  ``AND`` (q.op=AND) with multi-term clauses
+        routes to ``boolean_search`` — Lucene ANDs *clauses* while OR-ing
+        each clause's expansion, which a flat term list can't express."""
         from archivesspace_virgo_spark.index.query_parser import parse_query
 
         pq = parse_query(q)
         if pq.phrase is not None:
             return self.phrase_search(pq.phrase, k=k, field=pq.phrase_field,
                                       offset=offset)
-        expanded: List[str] = []
+        expansions: List[List[str]] = []
         for p in pq.prefixes:
-            expanded += self._expand_prefix(p, max_expansions)
+            expansions.append(self._expand_prefix(p, max_expansions))
         for w in pq.wildcards:
-            expanded += self._expand_wildcard(w, max_expansions)
+            expansions.append(self._expand_wildcard(w, max_expansions))
         for t, edits in pq.fuzzies:
-            expanded += self._expand_fuzzy(t, edits, 0, max_expansions)
+            expansions.append(self._expand_fuzzy(t, edits, 0, max_expansions))
         for rx in pq.regexps:
-            expanded += self._expand_regexp(rx, max_expansions)
+            expansions.append(self._expand_regexp(rx, max_expansions))
         for lo, hi, ilo, ihi, fld in pq.ranges:
-            expanded += self._expand_range(lo, hi, ilo, ihi, fld,
-                                           max_expansions)
-        if pq.mode == "and" and expanded:
-            raise ValueError(
-                "AND with multi-term clauses is not supported: Lucene "
-                "requires each CLAUSE (OR-ing its expansion), which a flat "
-                "term list cannot express"
-            )
-        terms = list(pq.terms) + expanded
+            expansions.append(self._expand_range(lo, hi, ilo, ihi, fld,
+                                                 max_expansions))
+        if pq.mode == "and" and expansions:
+            # an empty expansion is an unsatisfiable MUST clause (Lucene's
+            # rewritten MatchNoDocsQuery) — boolean_search handles it
+            clauses = [[t] for t in pq.terms] + expansions
+            return self.boolean_search(clauses, k=k, offset=offset,
+                                       exclude=pq.exclude,
+                                       boosts=pq.boosts or None)
+        terms = list(pq.terms) + [t for ex in expansions for t in ex]
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
         return self.search(terms, k=k, mode=pq.mode, offset=offset,
@@ -859,15 +978,18 @@ class QueryEngine:
     # --- total-hits count (Solr numFound: every response the reference
     # iterates carries it, SolrHelper.java:43-66) ---
     def count(self, terms: Sequence[str], mode: str = "or",
-              exclude: Sequence[str] = ()) -> int:
+              exclude: Sequence[str] = (),
+              min_should_match: int = 1) -> int:
         """Exact result-set size without ranking: the unranked match set's
         partial-aggregated count — one map pass per shard, no sort, cost
         independent of how many docs match."""
-        return self.match_ids(terms, mode=mode, exclude=exclude).count()
+        return self.match_ids(terms, mode=mode, exclude=exclude,
+                              min_should_match=min_should_match).count()
 
     # --- unranked boolean match set (the facet/count primitive) ---
     def match_ids(self, terms: Sequence[str], mode: str = "or",
-                  exclude: Sequence[str] = ()) -> DataFrame:
+                  exclude: Sequence[str] = (),
+                  min_should_match: int = 1) -> DataFrame:
         """(doc_shard, doc_id) of every matching doc — NO scoring, NO sort.
 
         Per-shard kernel decodes only the query terms' doc blobs and emits
@@ -878,6 +1000,7 @@ class QueryEngine:
 
         ``exclude``: MUST_NOT terms — matching doc ids are set-subtracted
         shard-locally (sorted-array difference, no shuffle).
+        ``min_should_match``: Solr mm — require ≥ that many distinct terms.
         """
         parsed = {self._parse_term(t) for t in terms}
         uniq = sorted(stored for _f, stored in parsed)
@@ -885,12 +1008,14 @@ class QueryEngine:
         live = [t for t in uniq if t in stats]
         if mode == "and" and len(live) != len(uniq):
             live = []
+        if len(live) < max(1, min_should_match):
+            live = []
         if not live:
             return self.spark.createDataFrame([], "doc_shard int, doc_id long")
         neg = sorted({stored for _f, stored in
                       (self._parse_term(t) for t in exclude)})
         live_set = set(live)
-        n_required = len(live) if mode == "and" else 1
+        n_required = len(live) if mode == "and" else max(1, min_should_match)
 
         from archivesspace_virgo_spark import codec  # re-imported on workers
 

@@ -148,9 +148,11 @@ def test_query_mixed_literal_and_expansion(engine):
     )
 
 
-def test_query_and_with_expansion_raises(engine):
-    with pytest.raises(ValueError):
-        engine.query("scan AND st*")
+def test_query_and_with_expansion_dispatches_boolean(engine):
+    expanded = engine._expand_prefix("st*", 1024)
+    assert _rows(engine.query("scan AND st*")) == _rows(
+        engine.boolean_search([["scan"], expanded])
+    )
 
 
 def test_query_empty_results(engine):
