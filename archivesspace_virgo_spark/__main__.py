@@ -6,7 +6,7 @@ this engine.  Built for ``spark-submit --py-files pkg.zip -m`` or plain
     build   --corpus DIR|--table DIR --index DIR [--fields a,b] [--validate]
     sync    --table DIR --index DIR            (snapshot-diff incremental)
     query   --index DIR --terms t1,t2 [--mode or|and] [-k N] [--offset N]
-            [--exclude t3,t4] [--mm N]
+            [--exclude t3,t4] [--mm N] [--fq lang:en,lang:fr]...
     search  --index DIR --q 'spark -stream s*^2' [-k N] [--offset N]
             (full Solr q= string syntax, one parse + dispatch)
     phrase  --index DIR --phrase "exact phrase" [-k N]
@@ -76,6 +76,9 @@ def main(argv=None) -> int:
                            help="MUST_NOT terms, comma-separated")
             q.add_argument("--mm", type=int, default=1,
                            help="minimum-should-match (Solr mm)")
+            q.add_argument("--fq", action="append", default=[],
+                           help="non-scoring filter clause (Solr fq), "
+                                "comma-separated OR terms; repeatable")
         elif name == "search":
             q.add_argument("--q", required=True,
                            help="Solr q= string (phrases, -must_not, "
@@ -88,6 +91,9 @@ def main(argv=None) -> int:
             q.add_argument("--field", required=True)
             q.add_argument("--exclude", default="",
                            help="MUST_NOT terms, comma-separated")
+            q.add_argument("--fq", action="append", default=[],
+                           help="non-scoring filter clause (Solr fq), "
+                                "comma-separated OR terms; repeatable")
         else:
             q.add_argument("--term", required=True)
             q.add_argument("-n", type=int, default=5)
@@ -168,9 +174,10 @@ def main(argv=None) -> int:
         engine = QueryEngine(spark, a.index, cfg)
         if a.cmd == "query":
             excl = [t for t in a.exclude.split(",") if t]
+            fq = [[t for t in cl.split(",") if t] for cl in a.fq]
             _print_df(engine.search(
                 a.terms.split(","), k=a.k, mode=a.mode, offset=a.offset,
-                exclude=excl, min_should_match=a.mm,
+                exclude=excl, min_should_match=a.mm, filters=fq,
             ))
         elif a.cmd == "search":
             _print_df(engine.query(a.q, k=a.k, offset=a.offset))
@@ -178,8 +185,9 @@ def main(argv=None) -> int:
             _print_df(engine.phrase_search(a.phrase, k=a.k))
         elif a.cmd == "facet":
             excl = [t for t in a.exclude.split(",") if t]
+            fq = [[t for t in cl.split(",") if t] for cl in a.fq]
             _print_df(engine.facet_search(
-                a.terms.split(","), a.field, exclude=excl
+                a.terms.split(","), a.field, exclude=excl, filters=fq
             ))
         else:
             _print_df(engine.suggest(a.term, n=a.n, max_edits=a.max_edits))

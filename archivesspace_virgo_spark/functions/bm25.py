@@ -155,13 +155,17 @@ def bm25_oracle_sql(
     boosts: Optional[dict] = None,
     exclude: Sequence[str] = (),
     min_should_match: int = 1,
+    filter_sql: Sequence[str] = (),
 ) -> str:
     """DuckDB SQL computing the identical top-k (driver oracle).
 
     ``boosts`` mirrors the engine's BoostQuery contract (idf multiplier per
     term); ``exclude`` mirrors MUST_NOT (docs containing ANY excluded term
     are dropped, scores of survivors unchanged); ``min_should_match``
-    mirrors Solr mm (≥ m distinct matched terms required)."""
+    mirrors Solr mm (≥ m distinct matched terms required); ``filter_sql``
+    mirrors fq — each entry a boolean SQL predicate over ``tf.doc_id``
+    (e.g. ``tf.doc_id IN (SELECT doc_id FROM documents WHERE lang='en')``)
+    that gates qualification without touching scores."""
     uniq = sorted(set(terms))
     terms_sql = ", ".join(f"'{t}'" for t in uniq)
     if mode == "and":
@@ -177,13 +181,14 @@ def bm25_oracle_sql(
             f"WHEN term = '{t}' THEN {float(w)!r}" for t, w in boosts.items()
         )
         boost_sql = f"(CASE {cases} ELSE 1.0 END)"
-    not_filter = ""
+    where_parts = list(filter_sql)
     if exclude:
         excl_sql = ", ".join(f"'{t}'" for t in sorted(set(exclude)))
-        not_filter = (
-            "WHERE tf.doc_id NOT IN "
+        where_parts.insert(0, (
+            "tf.doc_id NOT IN "
             f"(SELECT DISTINCT doc_id FROM tok WHERE term IN ({excl_sql}))"
-        )
+        ))
+    not_filter = f"WHERE {' AND '.join(where_parts)}" if where_parts else ""
     return f"""
 WITH tok AS (
   SELECT {id_col} AS doc_id,

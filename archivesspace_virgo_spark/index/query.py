@@ -53,6 +53,7 @@ def _make_shard_scorer(
     min_match: int = 1,
     term_clauses: Optional[List[List[int]]] = None,
     n_clauses: int = 0,
+    filter_clauses: Optional[List[List[str]]] = None,
 ):
     """Per-shard scoring kernel for cogroup-applyInPandas.
 
@@ -81,6 +82,13 @@ def _make_shard_scorer(
       terms cover ALL ``n_clauses`` clauses.  Coverage is a shard-local
       int64 bitmask (≤63 clauses), so clause tracking adds one
       ``bitwise_or.at`` scatter per term — no extra decode, no shuffle.
+
+    ``filter_clauses`` (Lucene BooleanClause.FILTER / Solr fq): each clause
+    is an OR of terms a doc MUST match, but — unlike MUST clauses — filter
+    terms contribute NOTHING to the score.  Like MUST_NOT, their postings
+    ride the same per-shard Arrow batch and become a shard-local allowed
+    mask applied BEFORE scoring, so filtering adds no shuffle, excluded
+    docs never inflate the pruning threshold, and MaxScore stays exact.
     """
     from archivesspace_virgo_spark import codec  # re-imported on workers
 
@@ -132,6 +140,22 @@ def _make_shard_scorer(
                 if excluded is None:
                     excluded = np.zeros(docs_per_shard, dtype=bool)
                 excluded[d.astype(np.int64) - base] = True
+        if filter_clauses:
+            for cl in filter_clauses:
+                clause_ok = np.zeros(docs_per_shard, dtype=bool)
+                hit = False
+                for t in cl:
+                    row = by_term.get(t)
+                    if row is None:
+                        continue
+                    hit = True
+                    d = codec.delta_decode(codec.varbyte_decode(row.doc_blob))
+                    clause_ok[d.astype(np.int64) - base] = True
+                if not hit:
+                    return empty  # no clause term posts in this shard
+                if excluded is None:
+                    excluded = np.zeros(docs_per_shard, dtype=bool)
+                excluded |= ~clause_ok
         present = [(i, terms[i]) for i in range(len(terms)) if terms[i] in by_term]
         if mode == "and" and len(present) < n_query_terms:
             return empty
@@ -346,7 +370,8 @@ class QueryEngine:
     def search(self, terms: Sequence[str], k: int = 10, mode: str = "or",
                offset: int = 0, exclude: Sequence[str] = (),
                boosts: Optional[dict] = None,
-               min_should_match: int = 1) -> DataFrame:
+               min_should_match: int = 1,
+               filters: Sequence[Sequence[str]] = ()) -> DataFrame:
         """Returns DataFrame(doc_id long, score double), ordered, ≤ k rows.
 
         ``offset`` is Solr's cursor paging (``start=N&rows=k``,
@@ -371,7 +396,13 @@ class QueryEngine:
         if it matches at least that many distinct query terms (mm=1 is the
         plain OR; mm=len(terms) equals AND).  mm>1 disables MaxScore
         pruning (the threshold would be computed over non-qualifying
-        docs)."""
+        docs).
+
+        ``filters`` is Solr's fq / Lucene BooleanClause.FILTER: a list of
+        clauses, each an OR of (usually field-scoped) terms a doc must
+        match — e.g. ``[["lang:en", "lang:fr"]]`` — contributing nothing
+        to the score.  Filter postings ride the same per-shard batch as
+        MUST_NOT: no extra shuffle, pruning stays exact."""
         parsed = {self._parse_term(t) for t in terms}
         uniq = sorted(stored for _f, stored in parsed)
         fields = {stored: f for f, stored in parsed}
@@ -385,6 +416,14 @@ class QueryEngine:
             return self.spark.createDataFrame([], "doc_id long, score double")
         neg = sorted({stored for _f, stored in
                       (self._parse_term(t) for t in exclude)})
+        fcl = [
+            sorted({stored for _f, stored in
+                    (self._parse_term(t) for t in cl)})
+            for cl in filters
+        ]
+        if any(not cl for cl in fcl):
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        flt_terms = sorted({t for cl in fcl for t in cl})
         boost_of = {}
         for t, w in (boosts or {}).items():
             _f, stored = self._parse_term(t)
@@ -401,7 +440,7 @@ class QueryEngine:
         # never reads positions, and shipping them would roughly double the
         # per-query transfer bytes
         postings = self._postings_df().filter(
-            F.col("term").isin(live + neg)
+            F.col("term").isin(live + neg + flt_terms)
         ).select(
             "doc_shard", "term", "doc_blob", "tf_blob", "dl_blob",
             "block_last_doc", "block_max_tf", "block_min_dl",
@@ -411,6 +450,7 @@ class QueryEngine:
             live, idfs, avgdls, k + offset, self.config.k1, self.config.b,
             self.config.docs_per_shard, mode, neg_terms=neg,
             min_match=min_should_match,
+            filter_clauses=fcl or None,
         )
         partials = postings.groupBy("doc_shard").applyInPandas(
             scorer, schema="doc_id long, score double"
@@ -426,7 +466,8 @@ class QueryEngine:
     # multi-term expansion, which flat AND-of-terms cannot express) ---
     def boolean_search(self, clauses: Sequence[Sequence[str]], k: int = 10,
                        offset: int = 0, exclude: Sequence[str] = (),
-                       boosts: Optional[dict] = None) -> DataFrame:
+                       boosts: Optional[dict] = None,
+                       filters: Sequence[Sequence[str]] = ()) -> DataFrame:
         """BM25 top-k where a doc must match ≥1 term of EVERY clause.
 
         Lucene semantics: score = sum over clauses of the clause's matched
@@ -453,6 +494,14 @@ class QueryEngine:
             return self.spark.createDataFrame([], "doc_id long, score double")
         neg = sorted({stored for _f, stored in
                       (self._parse_term(t) for t in exclude)})
+        fcl = [
+            sorted({stored for _f, stored in
+                    (self._parse_term(t) for t in cl)})
+            for cl in filters
+        ]
+        if any(not cl for cl in fcl):
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        flt_terms = sorted({t for cl in fcl for t in cl})
         boost_of = {}
         for t, w in (boosts or {}).items():
             _f, stored = self._parse_term(t)
@@ -464,7 +513,7 @@ class QueryEngine:
         ]
         avgdls = [self.field_stats[fields[t]][1] for t in live]
         postings = self._postings_df().filter(
-            F.col("term").isin(live + neg)
+            F.col("term").isin(live + neg + flt_terms)
         ).select(
             "doc_shard", "term", "doc_blob", "tf_blob", "dl_blob",
             "block_last_doc", "block_max_tf", "block_min_dl",
@@ -475,6 +524,7 @@ class QueryEngine:
             self.config.docs_per_shard, "or", neg_terms=neg,
             term_clauses=[sorted(term_cl[t]) for t in live],
             n_clauses=len(clauses),
+            filter_clauses=fcl or None,
         )
         partials = postings.groupBy("doc_shard").applyInPandas(
             scorer, schema="doc_id long, score double"
@@ -979,17 +1029,20 @@ class QueryEngine:
     # iterates carries it, SolrHelper.java:43-66) ---
     def count(self, terms: Sequence[str], mode: str = "or",
               exclude: Sequence[str] = (),
-              min_should_match: int = 1) -> int:
+              min_should_match: int = 1,
+              filters: Sequence[Sequence[str]] = ()) -> int:
         """Exact result-set size without ranking: the unranked match set's
         partial-aggregated count — one map pass per shard, no sort, cost
         independent of how many docs match."""
         return self.match_ids(terms, mode=mode, exclude=exclude,
-                              min_should_match=min_should_match).count()
+                              min_should_match=min_should_match,
+                              filters=filters).count()
 
     # --- unranked boolean match set (the facet/count primitive) ---
     def match_ids(self, terms: Sequence[str], mode: str = "or",
                   exclude: Sequence[str] = (),
-                  min_should_match: int = 1) -> DataFrame:
+                  min_should_match: int = 1,
+                  filters: Sequence[Sequence[str]] = ()) -> DataFrame:
         """(doc_shard, doc_id) of every matching doc — NO scoring, NO sort.
 
         Per-shard kernel decodes only the query terms' doc blobs and emits
@@ -1001,6 +1054,8 @@ class QueryEngine:
         ``exclude``: MUST_NOT terms — matching doc ids are set-subtracted
         shard-locally (sorted-array difference, no shuffle).
         ``min_should_match``: Solr mm — require ≥ that many distinct terms.
+        ``filters``: Solr fq — non-scoring required clauses (each an OR of
+        terms); matching ids are set-intersected shard-locally.
         """
         parsed = {self._parse_term(t) for t in terms}
         uniq = sorted(stored for _f, stored in parsed)
@@ -1014,6 +1069,15 @@ class QueryEngine:
             return self.spark.createDataFrame([], "doc_shard int, doc_id long")
         neg = sorted({stored for _f, stored in
                       (self._parse_term(t) for t in exclude)})
+        fcl = [
+            sorted({stored for _f, stored in
+                    (self._parse_term(t) for t in cl)})
+            for cl in filters
+        ]
+        if any(not cl for cl in fcl):
+            return self.spark.createDataFrame([], "doc_shard int, doc_id long")
+        flt_terms = sorted({t for cl in fcl for t in cl})
+        by_flt_terms = set(flt_terms)
         live_set = set(live)
         n_required = len(live) if mode == "and" else max(1, min_should_match)
 
@@ -1026,12 +1090,15 @@ class QueryEngine:
                 return empty
             shard = int(pdf["doc_shard"].iloc[0])
             ids, neg_ids = [], []
+            by_flt: dict = {}
             for t, blob in zip(pdf["term"], pdf["doc_blob"]):
                 d = codec.delta_decode(codec.varbyte_decode(blob))
                 if t in live_set:
                     ids.append(d)
                 if neg and t in neg:
                     neg_ids.append(d)
+                if flt_terms and t in by_flt_terms:
+                    by_flt[t] = d
             allids = np.concatenate(ids) if ids else np.empty(0, np.int64)
             if allids.size == 0:
                 return empty
@@ -1040,12 +1107,20 @@ class QueryEngine:
             if neg_ids:
                 hit = np.setdiff1d(hit, np.concatenate(neg_ids),
                                    assume_unique=False)
+            for cl in fcl:
+                present = [by_flt[t] for t in cl if t in by_flt]
+                if not present:
+                    return empty  # no clause term posts in this shard
+                ok = np.unique(np.concatenate(present))
+                hit = hit[np.isin(hit, ok, assume_unique=False)]
             return pd.DataFrame({
                 "doc_shard": np.full(hit.size, shard, dtype=np.int32),
                 "doc_id": hit.astype(np.int64),
             })
 
-        postings = self._postings_df().filter(F.col("term").isin(live + neg))
+        postings = self._postings_df().filter(
+            F.col("term").isin(live + neg + flt_terms)
+        )
         return postings.select("doc_shard", "term", "doc_blob").groupBy(
             "doc_shard"
         ).applyInPandas(matcher, schema="doc_shard int, doc_id long")
@@ -1059,8 +1134,10 @@ class QueryEngine:
     # semi-join + partial-agg count keeps every stage partition-local until
     # the final one-row-per-facet-value merge. ---
     def facet_search(self, terms: Sequence[str], field: str,
-                     mode: str = "or", exclude: Sequence[str] = ()) -> DataFrame:
-        hits = self.match_ids(terms, mode=mode, exclude=exclude).select("doc_id")
+                     mode: str = "or", exclude: Sequence[str] = (),
+                     filters: Sequence[Sequence[str]] = ()) -> DataFrame:
+        hits = self.match_ids(terms, mode=mode, exclude=exclude,
+                              filters=filters).select("doc_id")
         dm = self.storage.read(self.spark, "doc_map")
         return (
             dm.join(hits, "doc_id", "left_semi")

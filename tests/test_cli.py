@@ -56,6 +56,11 @@ def test_cli_build_query_phrase_facet(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "doc_id" in r.stdout
 
+    r = _run("query", "--index", idx, "--terms", "table,join",
+             "--fq", "table", "--mm", "2", "--docs-per-shard", "64", "-k", "3")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "doc_id" in r.stdout
+
     r = _run("search", "--index", idx, "--q", 'table -merge join^2',
              "--docs-per-shard", "64", "-k", "3")
     assert r.returncode == 0, r.stderr[-2000:]
