@@ -29,7 +29,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from archivesspace_virgo_spark.config import IndexConfig
@@ -54,6 +54,7 @@ def _make_shard_scorer(
     term_clauses: Optional[List[List[int]]] = None,
     n_clauses: int = 0,
     filter_clauses: Optional[List[List[str]]] = None,
+    return_all: bool = False,
 ):
     """Per-shard scoring kernel for cogroup-applyInPandas.
 
@@ -102,10 +103,12 @@ def _make_shard_scorer(
             np.int64(sum(1 << c for c in set(cs))) for cs in term_clauses
         ]
     full_cover = np.int64((1 << n_clauses) - 1) if n_clauses else np.int64(0)
-    # MaxScore pruning is exact ONLY in the flat-OR case: with clause or
-    # min_match qualification, theta computed over all scored docs can
-    # exceed the k-th best QUALIFYING score and wrongly skip postings
-    flat_or = mode == "or" and term_clauses is None and min_match <= 1
+    # MaxScore pruning is exact ONLY in the flat-OR top-k case: with clause
+    # or min_match qualification, theta computed over all scored docs can
+    # exceed the k-th best QUALIFYING score and wrongly skip postings; with
+    # return_all every matching doc's exact score is required
+    flat_or = (mode == "or" and term_clauses is None and min_match <= 1
+               and not return_all)
 
     def term_bound(row, avgdl: float) -> float:
         max_tf = np.asarray(row.block_max_tf, dtype=np.float64)
@@ -244,7 +247,7 @@ def _make_shard_scorer(
             cand = np.flatnonzero(seen > 0)
         if cand.size == 0:
             return empty
-        if cand.size > k:
+        if not return_all and cand.size > k:
             cs = scores[cand]
             top = np.argpartition(-cs, k - 1)[:k]
             thresh = cs[top].min()
@@ -264,7 +267,9 @@ def _make_shard_scorer(
                 np.add.at(final, mapped[m], contrib[m])
         else:
             final = scores[cand]
-        order = np.lexsort((cand, -final))[:k]
+        order = np.lexsort((cand, -final))
+        if not return_all:
+            order = order[:k]
         return pd.DataFrame({"doc_id": (cand[order] + base).astype(np.int64),
                              "score": final[order]})
 
@@ -403,6 +408,24 @@ class QueryEngine:
         match — e.g. ``[["lang:en", "lang:fr"]]`` — contributing nothing
         to the score.  Filter postings ride the same per-shard batch as
         MUST_NOT: no extra shuffle, pruning stays exact."""
+        partials = self._score_partials(
+            terms, mode, k + offset, exclude, boosts, min_should_match,
+            filters,
+        )
+        if partials is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        ordered = partials.orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            ordered = ordered.offset(offset)
+        return ordered.limit(k)
+
+    def _score_partials(self, terms, mode, kk, exclude, boosts,
+                        min_should_match, filters,
+                        return_all: bool = False) -> Optional[DataFrame]:
+        """Shared setup for scored retrieval: stats → idfs → pruned postings
+        scan → per-shard kernel.  Returns the unordered per-shard partials
+        (top-kk rows each, or EVERY matching doc when ``return_all``), or
+        None when the query is statically empty."""
         parsed = {self._parse_term(t) for t in terms}
         uniq = sorted(stored for _f, stored in parsed)
         fields = {stored: f for f, stored in parsed}
@@ -413,7 +436,7 @@ class QueryEngine:
         if len(live) < max(1, min_should_match):
             live = []  # mm exceeding the live terms can never be satisfied
         if not live:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return None
         neg = sorted({stored for _f, stored in
                       (self._parse_term(t) for t in exclude)})
         fcl = [
@@ -422,7 +445,7 @@ class QueryEngine:
             for cl in filters
         ]
         if any(not cl for cl in fcl):
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return None
         flt_terms = sorted({t for cl in fcl for t in cl})
         boost_of = {}
         for t, w in (boosts or {}).items():
@@ -447,18 +470,96 @@ class QueryEngine:
             "block_doc_off", "block_tf_off", "block_dl_off",
         )
         scorer = _make_shard_scorer(
-            live, idfs, avgdls, k + offset, self.config.k1, self.config.b,
+            live, idfs, avgdls, kk, self.config.k1, self.config.b,
             self.config.docs_per_shard, mode, neg_terms=neg,
             min_match=min_should_match,
             filter_clauses=fcl or None,
+            return_all=return_all,
         )
-        partials = postings.groupBy("doc_shard").applyInPandas(
+        return postings.groupBy("doc_shard").applyInPandas(
             scorer, schema="doc_id long, score double"
         )
-        ordered = partials.orderBy(F.desc("score"), F.asc("doc_id"))
+
+    # --- the full scored match set (the primitive behind Solr grouping /
+    # field sorting: Lucene's collectors also visit every match) ---
+    def score_matches(self, terms: Sequence[str], mode: str = "or",
+                      exclude: Sequence[str] = (),
+                      boosts: Optional[dict] = None,
+                      min_should_match: int = 1,
+                      filters: Sequence[Sequence[str]] = ()) -> DataFrame:
+        """(doc_id, score) for EVERY matching doc — exact scores, no cut.
+
+        Each doc's complete BM25 score is computed inside its single home
+        shard (the index is doc-partitioned), so this is the same one-pass
+        kernel as ``search`` minus the per-shard top-k truncation; output
+        size equals the match set, and no pruning runs (every score is
+        needed).  Use for grouping/sorting, not for plain top-k."""
+        partials = self._score_partials(
+            terms, mode, 0, exclude, boosts, min_should_match, filters,
+            return_all=True,
+        )
+        if partials is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return partials
+
+    # --- Solr result grouping (group=true&group.field=f): top docs per
+    # group, groups ordered by their best doc ---
+    def grouped_search(self, terms: Sequence[str], group_field: str,
+                       k_per_group: int = 3, mode: str = "or",
+                       exclude: Sequence[str] = (),
+                       filters: Sequence[Sequence[str]] = ()) -> DataFrame:
+        """(group value, rank-in-group, doc_id, score) for the top
+        ``k_per_group`` docs of every group, Lucene TopGroups contract:
+        within-group order is (score desc, doc_id), group order is the
+        group's best (score desc, doc_id).
+
+        Cost shape: the scored match set shuffles once on ``group_field``
+        for the per-group window — the same work Lucene's two-pass grouping
+        collector does, distributed."""
+        hits = self.score_matches(terms, mode=mode, exclude=exclude,
+                                  filters=filters)
+        dm = self.storage.read(self.spark, "doc_map").select(
+            "doc_id", group_field
+        )
+        w = Window.partitionBy(group_field).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            hits.join(dm, "doc_id")
+            .withColumn("rank_in_group", F.row_number().over(w))
+            .filter(F.col("rank_in_group") <= k_per_group)
+            .withColumn(
+                "group_top_score",
+                F.max("score").over(Window.partitionBy(group_field)),
+            )
+            .orderBy(F.desc("group_top_score"), F.asc(group_field),
+                     F.asc("rank_in_group"))
+            .select(group_field, "rank_in_group", "doc_id", "score")
+        )
+
+    # --- Solr field sort (sort=f asc|desc): matches ordered by a stored
+    # doc_map column instead of relevance ---
+    def sorted_search(self, terms: Sequence[str], sort_field: str,
+                      k: int = 10, ascending: bool = True, mode: str = "or",
+                      exclude: Sequence[str] = (), offset: int = 0,
+                      filters: Sequence[Sequence[str]] = ()) -> DataFrame:
+        """Top-k matches by a stored field (doc_id tiebreak).  Scoring is
+        skipped entirely — the unranked match set semi-joins the
+        column-pruned doc_map scan and TakeOrdered merges ≤k rows, exactly
+        like ``facet_search``'s cost shape."""
+        hits = self.match_ids(terms, mode=mode, exclude=exclude,
+                              filters=filters).select("doc_id")
+        dm = self.storage.read(self.spark, "doc_map").select(
+            "doc_id", sort_field
+        )
+        key = F.asc(sort_field) if ascending else F.desc(sort_field)
+        ordered = (
+            dm.join(hits, "doc_id", "left_semi")
+            .orderBy(key, F.asc("doc_id"))
+        )
         if offset:
             ordered = ordered.offset(offset)
-        return ordered.limit(k)
+        return ordered.limit(k).select("doc_id", sort_field)
 
     # --- Lucene BooleanQuery of MUST clauses (the reference's compound
     # query shape: ``getQuery(...) + " AND types:repository"``
@@ -1143,6 +1244,41 @@ class QueryEngine:
             dm.join(hits, "doc_id", "left_semi")
             .groupBy(field)
             .agg(F.count(F.lit(1)).alias("facet_count"))
+        )
+
+    # --- Solr range facets (facet.range=f&facet.range.start/end/gap):
+    # numeric bucket counts over the match set.  The only per-doc numeric
+    # column the index stores is the per-field doc length (doc_stats), the
+    # Solr analog of faceting on a length field. ---
+    def facet_range(self, terms: Sequence[str], start: int, end: int,
+                    gap: int, field: Optional[str] = None,
+                    mode: str = "or", exclude: Sequence[str] = (),
+                    filters: Sequence[Sequence[str]] = ()) -> DataFrame:
+        """(bucket_lo, facet_count) for [start, end) in steps of ``gap``,
+        counting matching docs by their ``field`` token length.  Same cost
+        shape as ``facet_search``: unranked match set → semi-join → partial
+        agg; empty buckets are omitted (Solr emits zeros — callers can
+        densify; omitting keeps the result proportional to occupied
+        buckets)."""
+        if gap <= 0:
+            raise ValueError("gap must be positive")
+        hits = self.match_ids(terms, mode=mode, exclude=exclude,
+                              filters=filters).select("doc_id")
+        fld = field or self.config.fields[0]
+        ds = self.storage.read(self.spark, "doc_stats").filter(
+            F.col("field") == fld
+        ).select("doc_id", "dl")
+        return (
+            ds.join(hits, "doc_id", "left_semi")
+            .filter((F.col("dl") >= start) & (F.col("dl") < end))
+            .withColumn(
+                "bucket_lo",
+                (F.lit(start)
+                 + F.floor((F.col("dl") - start) / gap) * gap).cast("long"),
+            )
+            .groupBy("bucket_lo")
+            .agg(F.count(F.lit(1)).alias("facet_count"))
+            .orderBy("bucket_lo")
         )
 
     # --- facets (T11 / A6: Solr facet.field=... IndexRecords.java:134) ---
