@@ -223,6 +223,68 @@ LIMIT {k} OFFSET {offset}
 """
 
 
+def dismax_oracle_sql(
+    terms: Sequence[str],
+    field_text_cols: "dict[str, str]",
+    tie: float = 0.0,
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    offset: int = 0,
+) -> str:
+    """DuckDB twin of ``QueryEngine.dismax_search``: per term, a
+    DisjunctionMax across fields (each field scored under its OWN corpus
+    stats — the engine's per-field norms), terms summed as a boolean OR.
+    ``field_text_cols`` maps each field to the SQL expression producing its
+    text in ``table`` (e.g. ``{"content": "text", "lang": "lang"}``)."""
+    uniq = sorted(set(terms))
+    terms_sql = ", ".join(f"'{t}'" for t in uniq)
+    ctes, unions = [], []
+    for i, (_field, expr) in enumerate(field_text_cols.items()):
+        ctes.append(f"""
+tok_{i} AS (
+  SELECT {id_col} AS doc_id,
+         unnest(list_filter(string_split_regex(lower({expr}), '{TOKEN_SPLIT_PATTERN}'), t -> t <> '')) AS term
+  FROM {table}
+),
+tf_{i} AS (SELECT doc_id, term, count(*) AS tf FROM tok_{i} GROUP BY 1, 2),
+dl_{i} AS (SELECT doc_id, count(*) AS dl FROM tok_{i} GROUP BY 1),
+stats_{i} AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT d.{id_col} AS doc_id, coalesce(dl.dl, 0) AS dl
+        FROM {table} d LEFT JOIN dl_{i} dl ON d.{id_col} = dl.doc_id)
+),
+dft_{i} AS (SELECT term, count(*) AS df FROM tf_{i}
+            WHERE term IN ({terms_sql}) GROUP BY 1),
+c_{i} AS (
+  SELECT tf.doc_id, tf.term AS bare,
+         ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl)) AS contrib
+  FROM tf_{i} tf
+  JOIN dft_{i} dft ON tf.term = dft.term
+  JOIN dl_{i} dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats_{i} s
+)""")
+        unions.append(f"SELECT * FROM c_{i}")
+    return f"""
+WITH {', '.join(ctes)},
+allc AS ({' UNION ALL '.join(unions)}),
+pt AS (
+  SELECT doc_id, bare, max(contrib) AS mx, sum(contrib) AS sm
+  FROM allc GROUP BY 1, 2
+),
+sc AS (
+  SELECT doc_id, sum(mx + {float(tie)!r} * (sm - mx)) AS _score
+  FROM pt GROUP BY 1
+)
+SELECT doc_id, round(_score, {ROUND}) AS score
+FROM sc ORDER BY _score DESC, doc_id ASC
+LIMIT {k} OFFSET {offset}
+"""
+
+
 def bm25_boolean_oracle_sql(
     clauses: Sequence[Sequence[str]],
     k: int = 10,

@@ -276,6 +276,53 @@ def _make_shard_scorer(
     return score
 
 
+def _make_term_contrib_kernel(
+    terms: List[str],
+    idfs: List[float],
+    avgdls: List[float],
+    k1: float,
+    b: float,
+):
+    """Per-shard kernel emitting one (doc_id, term, contrib) row per
+    posting — the exploded per-clause scores Lucene's DisjunctionMaxQuery
+    combines.  No qualification or pruning: every posting of every query
+    term contributes, and the combiner (max/sum per doc) runs declaratively
+    on top."""
+    from archivesspace_virgo_spark import codec  # re-imported on workers
+
+    params = dict(zip(terms, zip(idfs, avgdls)))
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        docs, tags, contribs = [], [], []
+        for t, row in zip(pdf["term"], pdf.itertuples(index=False)):
+            if t not in params:
+                continue
+            idf, avgdl = params[t]
+            doc_ids, tfs, dls = codec.decode_postings(
+                row.doc_blob, row.tf_blob, row.dl_blob
+            )
+            tfs = tfs.astype(np.float64)
+            dls = dls.astype(np.float64)
+            docs.append(doc_ids.astype(np.int64))
+            tags.append(np.full(doc_ids.size, t, dtype=object))
+            contribs.append(
+                idf * tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+            )
+        if not docs:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "term": pd.Series(dtype="object"),
+                "contrib": pd.Series(dtype="float64"),
+            })
+        return pd.DataFrame({
+            "doc_id": np.concatenate(docs),
+            "term": np.concatenate(tags),
+            "contrib": np.concatenate(contribs),
+        })
+
+    return kern
+
+
 class QueryEngine:
     """Reads a committed index; answers top-k / facet / range queries."""
 
@@ -561,6 +608,83 @@ class QueryEngine:
             ordered = ordered.offset(offset)
         return ordered.limit(k).select("doc_id", sort_field)
 
+    # --- per-term contribution relation (the primitive under DisMax) ---
+    def term_scores(self, terms: Sequence[str]) -> DataFrame:
+        """(doc_id, term, contrib): each query term's BM25 contribution to
+        each doc containing it — one kernel pass, no qualification, no
+        pruning.  ``terms`` may be field-scoped; absent terms yield no
+        rows."""
+        parsed = {self._parse_term(t) for t in terms}
+        uniq = sorted(stored for _f, stored in parsed)
+        fields = {stored: f for f, stored in parsed}
+        stats = self.term_stats(uniq)
+        live = [t for t in uniq if t in stats]
+        if not live:
+            return self.spark.createDataFrame(
+                [], "doc_id long, term string, contrib double")
+        idfs = [lucene_idf(self.field_stats[fields[t]][0], stats[t][0])
+                for t in live]
+        avgdls = [self.field_stats[fields[t]][1] for t in live]
+        postings = self._postings_df().filter(
+            F.col("term").isin(live)
+        ).select("doc_shard", "term", "doc_blob", "tf_blob", "dl_blob")
+        kern = _make_term_contrib_kernel(
+            live, idfs, avgdls, self.config.k1, self.config.b
+        )
+        return postings.groupBy("doc_shard").applyInPandas(
+            kern, schema="doc_id long, term string, contrib double"
+        )
+
+    # --- Solr DisMax (defType=dismax, qf=f1 f2 ..., tie=t): per query
+    # term, a DisjunctionMaxQuery across the qf fields; terms combine as a
+    # boolean OR sum ---
+    def dismax_search(self, terms: Sequence[str],
+                      fields: Optional[Sequence[str]] = None,
+                      tie: float = 0.0, k: int = 10,
+                      offset: int = 0) -> DataFrame:
+        """BM25 top-k under Lucene's DisjunctionMaxQuery contract:
+
+            score(d) = Σ_t [ max_f s(t,f,d) + tie · (Σ_f s(t,f,d) − max_f) ]
+
+        Each bare term is scored against every ``fields`` entry (its
+        field-scoped posting under that field's own corpus stats); the
+        best field wins, others contribute ``tie``-scaled (tie=0 = pure
+        max, tie=1 = plain sum across fields).
+
+        Cost shape: ONE kernel pass over the |terms|×|fields| scoped
+        posting rows per shard emits per-term contributions; the DisMax
+        combine is two partial-aggregated groupBys on doc_id (the second
+        reuses the first's hash partitioning — a single shuffle), then the
+        ≤k TakeOrdered merge."""
+        fields = list(fields or self.config.fields)
+        default = self.config.fields[0]
+        pairs = []  # (stored, bare)
+        for t in terms:
+            for f in fields:
+                stored = t if f == default else f"{f}:{t}"
+                pairs.append((stored, t))
+        contrib = self.term_scores([s for s, _b in pairs])
+        bare_map = F.broadcast(self.spark.createDataFrame(
+            sorted(set(pairs)), "term string, bare string"
+        ))
+        per_term = (
+            contrib.join(bare_map, "term")
+            .groupBy("doc_id", "bare")
+            .agg(F.max("contrib").alias("_mx"), F.sum("contrib").alias("_sm"))
+            .withColumn(
+                "term_score",
+                F.col("_mx") + F.lit(float(tie)) * (F.col("_sm") - F.col("_mx")),
+            )
+        )
+        ordered = (
+            per_term.groupBy("doc_id")
+            .agg(F.sum("term_score").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        if offset:
+            ordered = ordered.offset(offset)
+        return ordered.limit(k)
+
     # --- Lucene BooleanQuery of MUST clauses (the reference's compound
     # query shape: ``getQuery(...) + " AND types:repository"``
     # IndexRecords.java:174 — each clause may itself be an OR over a
@@ -807,6 +931,13 @@ class QueryEngine:
 
         pq = parse_query(q)
         if pq.phrase is not None:
+            if pq.phrase_slop > 0:
+                # '"a b"~N' → ordered SpanNear (see span_near_search for
+                # the documented divergence from PhraseQuery transposition
+                # slop)
+                return self.span_near_search(
+                    pq.phrase, slop=pq.phrase_slop, k=k,
+                    field=pq.phrase_field, offset=offset)
             return self.phrase_search(pq.phrase, k=k, field=pq.phrase_field,
                                       offset=offset)
         expansions: List[List[str]] = []
@@ -1011,6 +1142,128 @@ class QueryEngine:
                 thresh = score[top].min()
                 keep = score >= thresh  # boundary ties → doc_id tiebreak
                 hit, score = hit[keep], score[keep]
+            order = np.lexsort((hit, -score))[:kk]
+            return pd.DataFrame({
+                "doc_id": (hit[order] + base).astype(np.int64),
+                "score": score[order],
+            })
+
+        postings = self._postings_df().filter(F.col("term").isin(uniq)).select(
+            "doc_shard", "term", "doc_blob", "tf_blob", "dl_blob", "pos_blob"
+        )
+        partials = postings.groupBy("doc_shard").applyInPandas(
+            scorer, schema="doc_id long, score double"
+        )
+        ordered = partials.orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            ordered = ordered.offset(offset)
+        return ordered.limit(k)
+
+    # --- ordered proximity query (Lucene SpanNearQuery(inOrder=true) /
+    # the Solr ``"a b"~N`` proximity surface; built on the same stored v7
+    # positions as phrase_search) ---
+    def span_near_search(self, phrase, slop: int = 0, k: int = 10,
+                         field: Optional[str] = None,
+                         offset: int = 0) -> DataFrame:
+        """BM25 top-k for docs where the terms occur IN ORDER within
+        ``slop`` total gap positions.
+
+        Contract (NearSpansOrdered + Lucene sloppy weighting): for each
+        occurrence p1 of the first term, greedily chain to the NEXT
+        occurrence of each later term (strictly increasing positions);
+        matchLength = p_last − p1 − (n−1) (total inserted gap); spans with
+        matchLength ≤ slop contribute 1/(1+matchLength) to the sloppy
+        frequency, which replaces tf in the phrase BM25 form
+        (idf_sum · sf / (sf + k1·norm)).  slop=0 degenerates to EXACTLY
+        ``phrase_search`` (every chain is adjacent, weight 1, sf = ptf).
+
+        NOTE: Lucene's *PhraseQuery* slop additionally permits
+        transpositions (out-of-order terms within the edit budget); this
+        operator is the ordered SpanNearQuery contract — stricter, and the
+        one the greedy chain can evaluate fully vectorized (the same
+        combined ``doc·2^33 + position`` key trick as phrase_search, one
+        ``searchsorted`` per query term, no per-doc loop).
+        """
+        from archivesspace_virgo_spark.tokenizer import tokenize_text
+
+        terms = tokenize_text(phrase) if isinstance(phrase, str) else list(phrase)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not terms:
+            return empty
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
+        default = self.config.fields[0]
+        field = field or default
+        stored = [t if field == default else f"{field}:{t}" for t in terms]
+        uniq = sorted(set(stored))
+        stats = self.term_stats(uniq)
+        if len(stats) != len(uniq):
+            return empty  # a missing term empties the span query
+        n_docs_f, avgdl_f = self.field_stats[field]
+        idf_sum = float(
+            sum(lucene_idf(n_docs_f, stats[t][0]) for t in stored)
+        )
+        k1, b = self.config.k1, self.config.b
+        docs_per_shard = self.config.docs_per_shard
+        kk = k + offset
+        n_terms = len(stored)
+
+        from archivesspace_virgo_spark import codec  # re-imported on workers
+
+        def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty_p = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                    "score": pd.Series(dtype="float64")})
+            by_term = {
+                t: row
+                for t, row in zip(pdf["term"], pdf.itertuples(index=False))
+            }
+            if any(t not in by_term for t in uniq):
+                return empty_p
+            shard = int(pdf["doc_shard"].iloc[0])
+            base = shard * docs_per_shard
+            dec = {}
+            for t in uniq:
+                row = by_term[t]
+                d, tf_, dl_ = codec.decode_postings(
+                    row.doc_blob, row.tf_blob, row.dl_blob
+                )
+                pos = codec.decode_positions(row.pos_blob, tf_)
+                ldoc = d.astype(np.int64) - base
+                # occurrence keys doc*M + pos are sorted by construction
+                dec[t] = (ldoc, dl_, np.repeat(ldoc, tf_), pos)
+            M = np.int64(1) << np.int64(33)
+            _, _, occ0, pos0 = dec[stored[0]]
+            start = occ0 * M + pos0
+            cur = start
+            for t in stored[1:]:
+                _, _, occ_t, pos_t = dec[t]
+                kt = occ_t * M + pos_t
+                idx = np.searchsorted(kt, cur, side="right")
+                ok = idx < kt.size
+                nxt = kt[np.minimum(idx, kt.size - 1)]
+                ok &= (nxt // M) == (cur // M)  # stay within the doc
+                start, cur = start[ok], nxt[ok]
+                if cur.size == 0:
+                    return empty_p
+            mlen = (cur - start) - np.int64(n_terms - 1)
+            keep = mlen <= slop
+            if not keep.any():
+                return empty_p
+            docs = (start[keep] // M)
+            w = 1.0 / (1.0 + mlen[keep].astype(np.float64))
+            hit, inv = np.unique(docs, return_inverse=True)
+            sf = np.zeros(hit.size, dtype=np.float64)
+            np.add.at(sf, inv, w)
+            ldoc0, dl0, _, _ = dec[stored[0]]
+            dls = dl0[np.searchsorted(ldoc0, hit)].astype(np.float64)
+            score = idf_sum * sf / (
+                sf + k1 * (1.0 - b + b * dls / avgdl_f)
+            )
+            if hit.size > kk:
+                top = np.argpartition(-score, kk - 1)[:kk]
+                thresh = score[top].min()
+                keep2 = score >= thresh
+                hit, score = hit[keep2], score[keep2]
             order = np.lexsort((hit, -score))[:kk]
             return pd.DataFrame({
                 "doc_id": (hit[order] + base).astype(np.int64),

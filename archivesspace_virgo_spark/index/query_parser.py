@@ -38,7 +38,8 @@ _TOKEN_RX = re.compile(
         (?P<and>AND\b) |
         (?P<or>OR\b) |
         (?P<occur>[+-]) |
-        (?P<phrase>(?P<fldp>[A-Za-z_][\w]*:)?"(?P<phrase_body>[^"]*)") |
+        (?P<phrase>(?P<fldp>[A-Za-z_][\w]*:)?"(?P<phrase_body>[^"]*)"
+                   (?:~(?P<slop>\d+))?) |
         (?P<range>(?P<fldr>[A-Za-z_][\w]*:)?
                   (?P<lob>[\[{])(?P<lo>[^\s\]}]+|\*)\s+TO\s+
                   (?P<hi>[^\s\]}]+|\*)(?P<hib>[\]}])) |
@@ -59,6 +60,7 @@ class ParsedQuery:
     mode: str = "or"                                     # 'or' | 'and'
     phrase: Optional[str] = None                         # '"w1 w2"' body
     phrase_field: Optional[str] = None
+    phrase_slop: int = 0                                 # '"w1 w2"~N'
     # lexicon-expansion clauses, resolved by the engine before scoring:
     prefixes: List[str] = field(default_factory=list)    # 'pre*'
     wildcards: List[str] = field(default_factory=list)   # 'te?t', '*x*'
@@ -102,6 +104,7 @@ def parse_query(q: str) -> ParsedQuery:
                 raise ValueError("phrase boosts are not supported")
             out.phrase = body
             out.phrase_field = (m.group("fldp") or "").rstrip(":") or None
+            out.phrase_slop = int(m.group("slop") or 0)
             continue
 
         if m.group("range") is not None:
