@@ -652,10 +652,12 @@ class QueryEngine:
         max, tie=1 = plain sum across fields).
 
         Cost shape: ONE kernel pass over the |terms|×|fields| scoped
-        posting rows per shard emits per-term contributions; the DisMax
-        combine is two partial-aggregated groupBys on doc_id (the second
-        reuses the first's hash partitioning — a single shuffle), then the
-        ≤k TakeOrdered merge."""
+        posting rows per shard emits per-term contributions; the combine
+        repartitions the contribution rows ONCE on doc_id — that hash
+        partitioning satisfies both stacked groupBys ((doc_id, bare) then
+        (doc_id): clustering on a key subset co-locates the groups), so
+        the whole DisMax reduction is a single data shuffle + the ≤k
+        TakeOrdered merge (pinned in tests/test_dismax.py)."""
         fields = list(fields or self.config.fields)
         default = self.config.fields[0]
         pairs = []  # (stored, bare)
@@ -669,6 +671,7 @@ class QueryEngine:
         ))
         per_term = (
             contrib.join(bare_map, "term")
+            .repartition(F.col("doc_id"))
             .groupBy("doc_id", "bare")
             .agg(F.max("contrib").alias("_mx"), F.sum("contrib").alias("_sm"))
             .withColumn(
@@ -1533,6 +1536,76 @@ class QueryEngine:
             .agg(F.count(F.lit(1)).alias("facet_count"))
             .orderBy("bucket_lo")
         )
+
+    # --- Solr pivot facets (facet.pivot=f1,f2): nested value-pair counts
+    # over the match set ---
+    def facet_pivot(self, terms: Sequence[str], fields: Sequence[str],
+                    mode: str = "or", exclude: Sequence[str] = (),
+                    filters: Sequence[Sequence[str]] = ()) -> DataFrame:
+        """Counts of every ``fields`` value combination across the match
+        set — same cost shape as ``facet_search`` (semi-join + partial
+        agg), one output row per occupied combination, ordered by count
+        desc then values (Solr's default count ordering)."""
+        if not fields:
+            raise ValueError("facet_pivot needs at least one field")
+        hits = self.match_ids(terms, mode=mode, exclude=exclude,
+                              filters=filters).select("doc_id")
+        dm = self.storage.read(self.spark, "doc_map").select(
+            "doc_id", *fields
+        )
+        return (
+            dm.join(hits, "doc_id", "left_semi")
+            .groupBy(*fields)
+            .agg(F.count(F.lit(1)).alias("facet_count"))
+            .orderBy(F.desc("facet_count"),
+                     *[F.asc(f) for f in fields])
+        )
+
+    # --- Solr stats component (stats=true&stats.field=f): numeric summary
+    # over the match set; the per-field doc length is the index's stored
+    # numeric per-doc attribute ---
+    def stats_component(self, terms: Sequence[str],
+                        field: Optional[str] = None, mode: str = "or",
+                        exclude: Sequence[str] = (),
+                        filters: Sequence[Sequence[str]] = ()) -> DataFrame:
+        """One row (count, min, max, sum, mean) of ``field`` token length
+        over the matching docs — all partial-aggregated, nothing sorted."""
+        hits = self.match_ids(terms, mode=mode, exclude=exclude,
+                              filters=filters).select("doc_id")
+        fld = field or self.config.fields[0]
+        ds = self.storage.read(self.spark, "doc_stats").filter(
+            F.col("field") == fld
+        ).select("doc_id", "dl")
+        return ds.join(hits, "doc_id", "left_semi").agg(
+            F.count(F.lit(1)).alias("stats_count"),
+            F.min("dl").alias("stats_min"),
+            F.max("dl").alias("stats_max"),
+            F.sum("dl").alias("stats_sum"),
+            F.avg("dl").alias("stats_mean"),
+        )
+
+    # --- Solr terms component (terms=true&terms.fl=f&terms.prefix=p):
+    # enumerate index terms with their document frequencies ---
+    def terms_component(self, prefix: str = "", n: int = 10,
+                        min_df: int = 1, by_count: bool = True) -> DataFrame:
+        """Top-n lexicon terms with df ≥ min_df under ``prefix`` —
+        Solr's terms.sort=count (df desc, term) or index order
+        (terms.sort=index).  A distributed lexicon filter + TakeOrdered(n);
+        ``field:pre`` scopes to that field's terms."""
+        lex = self._lexicon_df().select("term", "df")
+        if prefix:
+            _f, stored = self._parse_term(
+                prefix[:-1] if prefix.endswith("*") else prefix)
+            lex = lex.filter(F.col("term").startswith(stored))
+        else:
+            # bare enumeration covers the default field only (scoped terms
+            # carry a 'field:' prefix and are enumerated per field)
+            lex = lex.filter(~F.col("term").contains(":"))
+        if min_df > 1:
+            lex = lex.filter(F.col("df") >= min_df)
+        order = ([F.desc("df"), F.asc("term")] if by_count
+                 else [F.asc("term")])
+        return lex.orderBy(*order).limit(n)
 
     # --- facets (T11 / A6: Solr facet.field=... IndexRecords.java:134) ---
     def facet(self, field: str, where: Optional[str] = None) -> DataFrame:
