@@ -9,8 +9,13 @@ this engine.  Built for ``spark-submit --py-files pkg.zip -m`` or plain
             [--exclude t3,t4] [--mm N] [--fq lang:en,lang:fr]...
     search  --index DIR --q 'spark -stream s*^2' [-k N] [--offset N]
             (full Solr q= string syntax, one parse + dispatch)
-    phrase  --index DIR --phrase "exact phrase" [-k N]
+    phrase  --index DIR --phrase "exact phrase" [-k N] [--slop N]
     facet   --index DIR --terms t1,t2 --field lang [--exclude t3]
+    group   --index DIR --terms t1,t2 --field lang [--k-per-group N]
+    sort    --index DIR --terms t1,t2 --field path [--desc] [-k N]
+    dismax  --index DIR --terms t1,t2 --fields content,lang [--tie T]
+    stats   --index DIR --terms t1,t2 [--field content]
+    terms   --index DIR [--prefix s] [-n N] [--min-df N] [--index-order]
     suggest --index DIR --term tble [-n N]
 
 Results print as TSV to stdout; exit code is 0 on success (the reference
@@ -62,7 +67,8 @@ def main(argv=None) -> int:
     s.add_argument("--fields", default="content")
     s.add_argument("--docs-per-shard", type=int, default=4096)
 
-    for name in ("query", "search", "phrase", "facet", "suggest"):
+    for name in ("query", "search", "phrase", "facet", "group", "sort",
+                 "dismax", "stats", "terms", "suggest"):
         q = sub.add_parser(name)
         q.add_argument("--index", required=True)
         q.add_argument("--fields", default="content")
@@ -86,6 +92,30 @@ def main(argv=None) -> int:
             q.add_argument("--offset", type=int, default=0)
         elif name == "phrase":
             q.add_argument("--phrase", required=True)
+            q.add_argument("--slop", type=int, default=0,
+                           help='proximity budget ("a b"~N, ordered)')
+        elif name == "group":
+            q.add_argument("--terms", required=True)
+            q.add_argument("--field", required=True)
+            q.add_argument("--k-per-group", type=int, default=3)
+        elif name == "sort":
+            q.add_argument("--terms", required=True)
+            q.add_argument("--field", required=True)
+            q.add_argument("--desc", action="store_true")
+        elif name == "dismax":
+            q.add_argument("--terms", required=True)
+            q.add_argument("--qf", default="",
+                           help="fields to search, comma-separated "
+                                "(default: all indexed fields)")
+            q.add_argument("--tie", type=float, default=0.0)
+        elif name == "stats":
+            q.add_argument("--terms", required=True)
+            q.add_argument("--stats-field", default=None)
+        elif name == "terms":
+            q.add_argument("--prefix", default="")
+            q.add_argument("-n", type=int, default=10)
+            q.add_argument("--min-df", type=int, default=1)
+            q.add_argument("--index-order", action="store_true")
         elif name == "facet":
             q.add_argument("--terms", required=True)
             q.add_argument("--field", required=True)
@@ -182,7 +212,33 @@ def main(argv=None) -> int:
         elif a.cmd == "search":
             _print_df(engine.query(a.q, k=a.k, offset=a.offset))
         elif a.cmd == "phrase":
-            _print_df(engine.phrase_search(a.phrase, k=a.k))
+            if a.slop > 0:
+                _print_df(engine.span_near_search(a.phrase, slop=a.slop,
+                                                  k=a.k))
+            else:
+                _print_df(engine.phrase_search(a.phrase, k=a.k))
+        elif a.cmd == "group":
+            _print_df(engine.grouped_search(
+                a.terms.split(","), a.field, k_per_group=a.k_per_group
+            ))
+        elif a.cmd == "sort":
+            _print_df(engine.sorted_search(
+                a.terms.split(","), a.field, k=a.k, ascending=not a.desc
+            ))
+        elif a.cmd == "dismax":
+            qf = tuple(f for f in a.qf.split(",") if f) or None
+            _print_df(engine.dismax_search(
+                a.terms.split(","), fields=qf, tie=a.tie, k=a.k
+            ))
+        elif a.cmd == "stats":
+            _print_df(engine.stats_component(
+                a.terms.split(","), field=a.stats_field
+            ))
+        elif a.cmd == "terms":
+            _print_df(engine.terms_component(
+                a.prefix, n=a.n, min_df=a.min_df,
+                by_count=not a.index_order
+            ))
         elif a.cmd == "facet":
             excl = [t for t in a.exclude.split(",") if t]
             fq = [[t for t in cl.split(",") if t] for cl in a.fq]

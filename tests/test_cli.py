@@ -70,3 +70,32 @@ def test_cli_build_query_phrase_facet(tmp_path):
              "--docs-per-shard", "64", "-n", "3")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "table" in r.stdout and "distance" in r.stdout
+
+    r = _run("group", "--index", idx, "--terms", "table", "--field", "lang",
+             "--k-per-group", "2", "--docs-per-shard", "64")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "rank_in_group" in r.stdout
+
+    r = _run("sort", "--index", idx, "--terms", "table", "--field", "path",
+             "--docs-per-shard", "64", "-k", "3")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "path" in r.stdout
+
+    r = _run("dismax", "--index", idx, "--terms", "table,join",
+             "--tie", "0.3", "--docs-per-shard", "64", "-k", "3")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "score" in r.stdout
+
+    r = _run("stats", "--index", idx, "--terms", "table",
+             "--docs-per-shard", "64")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "stats_mean" in r.stdout
+
+    r = _run("terms", "--index", idx, "--prefix", "t", "-n", "3",
+             "--docs-per-shard", "64")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "df" in r.stdout
+
+    r = _run("phrase", "--index", idx, "--phrase", "value table",
+             "--slop", "2", "--docs-per-shard", "64", "-k", "3")
+    assert r.returncode == 0, r.stderr[-2000:]
