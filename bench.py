@@ -49,6 +49,29 @@ QUERY_SUITE = [
 ]
 K = 10
 
+# round-3 query-surface additions, timed separately ("extra_queries") so the
+# headline p95 stays comparable across rounds (same 8-query suite since r1)
+EXTRA_SUITE = [
+    ("x_boost_excl", lambda e: e.search(
+        ["table", "join"], k=K, exclude=["merge"], boosts={"join": 2.0})),
+    ("x_mm2", lambda e: e.search(
+        ["spark", "window", "merge"], k=K, min_should_match=2)),
+    ("x_boolean", lambda e: e.boolean_search(
+        [["table"], ["join", "merge"]], k=K)),
+    ("x_fq", lambda e: e.search(
+        ["table"], k=K, filters=[["join", "merge"]])),
+    ("x_span2", lambda e: e.span_near_search(
+        ["value", "table"], slop=2, k=K)),
+    ("x_grouped", lambda e: e.grouped_search("table join".split(), "lang",
+                                             k_per_group=3)),
+    ("x_sorted", lambda e: e.sorted_search(["table"], "path", k=K)),
+    ("x_dismax", lambda e: e.dismax_search(["table", "join"],
+                                           fields=("content",), tie=0.3,
+                                           k=K)),
+    ("x_count", lambda e: e.count(["table", "join"])),
+    ("x_qstring", lambda e: e.query("table -merge join^2", k=K)),
+]
+
 
 _LOCAL_DIR = None  # set by scale_child to a tmpfs path
 
@@ -214,6 +237,17 @@ def run_build_and_queries(cpus: int, run_queries: bool = True,
                 cold_lat.append(runs[0])
                 warm_lat.extend(runs[1:])
             out["queries"] = latencies
+            extra_lat = {}
+            for name, fn in EXTRA_SUITE:
+                runs = []
+                for _ in range(2):
+                    tq = time.time()
+                    res = fn(engine)
+                    if hasattr(res, "collect"):
+                        res.collect()
+                    runs.append(time.time() - tq)
+                extra_lat[name] = round(min(runs), 4)
+            out["extra_queries"] = extra_lat
             out["query_p95_sec"] = statistics.quantiles(warm_lat, n=20)[18]
             out["query_mean_sec"] = statistics.mean(warm_lat)
             # p95 over {true cold first} ∪ {per-suite first runs}: the
@@ -283,6 +317,7 @@ def main():
         "n_docs": main_run["n_docs"],
         "build_docs_per_sec": round(main_run["docs_per_sec"], 1),
         "build_sec_runs": main_run.get("build_sec_runs", []),
+        "extra_queries": main_run.get("extra_queries", {}),
         "query_p95_sec": round(main_run.get("query_p95_sec", 0.0), 4),
         "query_cold_p95_sec": round(main_run.get("query_cold_p95_sec", 0.0), 4),
         "query_cold_first_sec": round(main_run.get("query_cold_first_sec", 0.0), 4),
