@@ -132,11 +132,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_phrase"] = q_bm25_phrase
 
     def q_bm25_paged(spark, sf_dir):
-        # O3: Solr cursor paging (start=10&rows=10, SolrHelper.java:43-66)
+        # O3 (Solr cursor paging, start=5&rows=10, SolrHelper.java:43-66)
+        # + Solr minimum-should-match in one query: page 2 of the mm=2
+        # result set — both parameters must be exactly right for the rows
+        # to match the oracle
         engine = _engine_for(spark, sf_dir)
-        res = engine.search(TERMS_OR, k=K, offset=10)
+        res = engine.search(TERMS_OR, k=K, offset=5, min_should_match=2)
         return res.select("doc_id", _micro(F.col("score")).alias("score_micro"))
     q["bm25_paged"] = q_bm25_paged
+
+    def q_bm25_boolean_fq(spark, sf_dir):
+        # the full Lucene BooleanQuery occur surface in one query: MUST
+        # clauses (each an OR), MUST_NOT, non-scoring FILTER, and a boost
+        engine = _engine_for(spark, sf_dir)
+        res = engine.boolean_search(
+            [["table"], ["join", "merge"]], k=K,
+            exclude=["vector"], boosts={"join": 2.0},
+            filters=[["value", "data"]],
+        )
+        return res.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+    q["bm25_boolean_fq"] = q_bm25_boolean_fq
+
+    def q_bm25_dismax(spark, sf_dir):
+        # Solr DisMax across content+lang fields (qf, tie) on the
+        # multi-field index — per-term DisjunctionMax under per-field stats
+        engine = _engine_for(spark, sf_dir, fields=("content", "lang"))
+        res = engine.dismax_search(["table", "en"], fields=("content", "lang"),
+                                   tie=0.3, k=K)
+        return res.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+    q["bm25_dismax"] = q_bm25_dismax
 
     def q_bm25_with_fields(spark, sf_dir):
         # Solr fl= parity: hits enriched with stored doc_map fields via a
@@ -218,12 +242,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = q_dedup_exact
 
     def q_minhash(spark, sf_dir):
+        # MinHash signature + SimHash fingerprint in one per-doc row (two
+        # §2 sketch operators, one driver entry — same 500-doc row set)
         sig = D.minhash_signature(_docs(spark, sf_dir), "doc_id", "text", n_hashes=4)
+        sh = D.simhash(_docs(spark, sf_dir), "doc_id", "text", bits=16)
         return sig.select(
             "doc_id",
             F.col("sig")[0].alias("h0"), F.col("sig")[1].alias("h1"),
             F.col("sig")[2].alias("h2"), F.col("sig")[3].alias("h3"),
-        )
+        ).join(sh, "doc_id")
     q["minhash_signature"] = q_minhash
 
     def q_jaccard(spark, sf_dir):
@@ -231,10 +258,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), "doc_id", "text", shingle_n=3, threshold=0.2
         ).select("id_a", "id_b", _micro(F.col("jaccard")).alias("jaccard_micro"))
     q["ngram_jaccard_pairs"] = q_jaccard
-
-    def q_simhash(spark, sf_dir):
-        return D.simhash(_docs(spark, sf_dir), "doc_id", "text", bits=16)
-    q["simhash"] = q_simhash
 
     def q_minhash_bands(spark, sf_dir):
         return D.minhash_band_pairs(
@@ -533,17 +556,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["scalar_etl_events"] = q_scalar_etl_events
 
     def q_collect_json(spark, sf_dir):
+        # A2 (collect-to-JSON-array, suppliers) + A1 (order-stable
+        # string-agg, customers) joined per nation — two agg operators,
+        # one driver entry on the shared nation grain
         s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-        return E.collect_json_array(
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        ja = E.collect_json_array(
             s.select("s_nationkey", "s_name", "s_suppkey"),
             "s_nationkey", ["s_name", "s_suppkey"],
         )
+        sa = E.string_agg(c, "c_nationkey", "c_name", sep="|")
+        return ja.join(
+            sa.withColumnRenamed("c_nationkey", "s_nationkey"), "s_nationkey"
+        )
     q["collect_json_array"] = q_collect_json
-
-    def q_string_agg(spark, sf_dir):
-        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-        return E.string_agg(c, "c_nationkey", "c_name", sep="|")
-    q["string_agg"] = q_string_agg
 
     def q_semi(spark, sf_dir):
         c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -779,9 +805,30 @@ FROM scored ORDER BY _score DESC, doc_id ASC LIMIT {K}
         f"SELECT doc_id, {micro('score')} AS score_micro FROM ({phrase_inner}) t"
     )
 
-    paged_inner = bm25_oracle_sql(TERMS_OR, k=K, mode="or", offset=10)
+    paged_inner = bm25_oracle_sql(TERMS_OR, k=K, mode="or", offset=5,
+                                  min_should_match=2)
     o["bm25_paged"] = (
         f"SELECT doc_id, {micro('score')} AS score_micro FROM ({paged_inner}) t"
+    )
+
+    from archivesspace_virgo_spark.functions.bm25 import (
+        bm25_boolean_oracle_sql,
+        dismax_oracle_sql,
+    )
+    bool_inner = bm25_boolean_oracle_sql(
+        [["table"], ["join", "merge"]], k=K,
+        exclude=["vector"], boosts={"join": 2.0},
+        filter_sql=["tf.doc_id IN (SELECT DISTINCT doc_id FROM tok "
+                    "WHERE term IN ('value', 'data'))"],
+    )
+    o["bm25_boolean_fq"] = (
+        f"SELECT doc_id, {micro('score')} AS score_micro FROM ({bool_inner}) t"
+    )
+    dm_inner = dismax_oracle_sql(["table", "en"],
+                                 {"content": "text", "lang": "lang"},
+                                 tie=0.3, k=K)
+    o["bm25_dismax"] = (
+        f"SELECT doc_id, {micro('score')} AS score_micro FROM ({dm_inner}) t"
     )
 
     # fl= parity: bm25 hits joined to the documents table's stored fields
@@ -851,6 +898,7 @@ FROM documents
 
     sh = D.shingles_sql("text", 3)
     hash_sql = lambda seed: D.hash64_sql("sh", seed)  # noqa: E731
+    _th = D.hash64_sql("term", 7)
     o["minhash_signature"] = f"""
 WITH ex AS (SELECT doc_id, unnest({sh}) AS sh FROM documents),
 sig AS (
@@ -858,9 +906,28 @@ sig AS (
          min({hash_sql(0)}) AS h0, min({hash_sql(1)}) AS h1,
          min({hash_sql(2)}) AS h2, min({hash_sql(3)}) AS h3
   FROM ex GROUP BY doc_id
+),
+stf AS (
+  SELECT doc_id AS _id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+sth AS (SELECT _id, tf, {_th} AS h FROM stf),
+sbits AS (
+  SELECT _id, i,
+         sum(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM sth, range(16) r(i)
+  GROUP BY 1, 2
+),
+spacked AS (
+  SELECT _id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+  FROM sbits GROUP BY _id
 )
-SELECT d.doc_id, sig.h0, sig.h1, sig.h2, sig.h3
-FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+SELECT d.doc_id, sig.h0, sig.h1, sig.h2, sig.h3,
+       CAST(coalesce(p.simhash, 0) AS BIGINT) AS simhash
+FROM documents d
+LEFT JOIN sig ON d.doc_id = sig.doc_id
+JOIN spacked p ON d.doc_id = p._id
 """
 
     o["ngram_jaccard_pairs"] = f"""
@@ -884,28 +951,6 @@ FROM inter i
 JOIN sizes sa ON i.id_a = sa._id
 JOIN sizes sb ON i.id_b = sb._id
 WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
-"""
-
-    term_hash = D.hash64_sql("term", 7)
-    o["simhash"] = f"""
-WITH tf AS (
-  SELECT doc_id AS _id, term, count(*) AS tf
-  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
-  GROUP BY 1, 2
-),
-h AS (SELECT _id, tf, {term_hash} AS h FROM tf),
-bits AS (
-  SELECT _id, i,
-         sum(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS s
-  FROM h, range(16) r(i)
-  GROUP BY 1, 2
-),
-packed AS (
-  SELECT _id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
-  FROM bits GROUP BY _id
-)
-SELECT d.doc_id, CAST(coalesce(p.simhash, 0) AS BIGINT) AS simhash
-FROM documents d JOIN packed p ON d.doc_id = p._id
 """
 
     # the LSH trio is approximate w.r.t. the exhaustive answer but fully
@@ -1095,15 +1140,18 @@ FROM events
 """
 
     o["collect_json_array"] = """
-SELECT s_nationkey,
-       '[' || string_agg(json_object('s_name', s_name, 's_suppkey', s_suppkey)::VARCHAR,
-                         ',' ORDER BY s_name, s_suppkey) || ']' AS json_arr
-FROM supplier GROUP BY s_nationkey
-"""
-
-    o["string_agg"] = """
-SELECT c_nationkey, string_agg(c_name, '|' ORDER BY c_name) AS agg_value
-FROM customer GROUP BY c_nationkey
+WITH ja AS (
+  SELECT s_nationkey,
+         '[' || string_agg(json_object('s_name', s_name, 's_suppkey', s_suppkey)::VARCHAR,
+                           ',' ORDER BY s_name, s_suppkey) || ']' AS json_arr
+  FROM supplier GROUP BY s_nationkey
+),
+sa AS (
+  SELECT c_nationkey, string_agg(c_name, '|' ORDER BY c_name) AS agg_value
+  FROM customer GROUP BY c_nationkey
+)
+SELECT ja.s_nationkey, ja.json_arr, sa.agg_value
+FROM ja JOIN sa ON ja.s_nationkey = sa.c_nationkey
 """
     o["semi_join_has_orders"] = """
 SELECT c_custkey FROM customer

@@ -296,11 +296,14 @@ def bm25_boolean_oracle_sql(
     offset: int = 0,
     boosts: Optional[dict] = None,
     exclude: Sequence[str] = (),
+    filter_sql: Sequence[str] = (),
 ) -> str:
     """DuckDB twin of ``QueryEngine.boolean_search``: AND of clauses, each
     an OR over its terms.  A doc qualifies when every clause has ≥1 matched
     term (bool_or per clause in HAVING); a term in m clauses contributes m
-    times (the engine's m× idf multiplier)."""
+    times (the engine's m× idf multiplier).  ``filter_sql`` mirrors fq —
+    boolean predicates over ``tf.doc_id`` gating qualification without
+    touching scores."""
     mult: dict = {}
     for cl in clauses:
         for t in sorted(set(cl)):
@@ -319,13 +322,14 @@ def bm25_boolean_oracle_sql(
         )
         for cl in clauses
     )
-    not_filter = ""
+    where_parts = list(filter_sql)
     if exclude:
         excl_sql = ", ".join(f"'{t}'" for t in sorted(set(exclude)))
-        not_filter = (
-            "WHERE tf.doc_id NOT IN "
+        where_parts.insert(0, (
+            "tf.doc_id NOT IN "
             f"(SELECT DISTINCT doc_id FROM tok WHERE term IN ({excl_sql}))"
-        )
+        ))
+    not_filter = f"WHERE {' AND '.join(where_parts)}" if where_parts else ""
     return f"""
 WITH tok AS (
   SELECT {id_col} AS doc_id,
