@@ -1,0 +1,105 @@
+"""Chunking + sequence packing (LLM training-data pipeline operators),
+each pinned against its exact DuckDB twin and invariant-checked.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from archivesspace_virgo_spark.operators.chunking import (
+    chunk_documents,
+    chunk_documents_sql,
+    pack_linear,
+    pack_linear_sql,
+)
+from archivesspace_virgo_spark.tokenizer import tokenize_text
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    return c
+
+
+@pytest.mark.parametrize("chunk,overlap", [(64, 0), (64, 16), (50, 49)])
+def test_chunks_match_duckdb(docs, con, chunk, overlap):
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(docs, "doc_id", "text", chunk,
+                                 overlap).collect()
+    )
+    exp = sorted(
+        (int(d), int(c_), t, int(n))
+        for d, c_, t, n in con.execute(
+            chunk_documents_sql("documents", "doc_id", "text", chunk,
+                                overlap)
+        ).fetchall()
+    )
+    assert got == exp and len(got) > 500
+
+
+def test_chunk_invariants(docs):
+    rows = chunk_documents(docs, "doc_id", "text", 64, 16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    sample = dict(list(by_doc.items())[:20])
+    texts = {r["doc_id"]: r["text"]
+             for r in docs.filter(F.col("doc_id").isin(list(sample))).collect()}
+    for d, chunks in sample.items():
+        toks = tokenize_text(texts[d])
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        # every token index is covered; consecutive chunks share `overlap`
+        for i, c in enumerate(chunks):
+            start = i * (64 - 16)
+            assert c["chunk_text"].split(" ") == toks[start:start + 64]
+        assert chunks[-1]["n_tokens"] >= 1
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", 0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", 64, 64)
+
+
+@pytest.mark.parametrize("budget", [512, 2048])
+def test_pack_linear_matches_duckdb(docs, con, budget):
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["bin_id"], r["offset_in_bin"])
+        for r in pack_linear(docs, "doc_id", "text", budget).collect()
+    )
+    exp = sorted(
+        (int(d), int(n), int(b), int(o))
+        for d, n, b, o in con.execute(
+            pack_linear_sql("documents", "doc_id", "text", budget)
+        ).fetchall()
+    )
+    assert got == exp and len(got) == 500
+
+
+def test_pack_linear_invariants(docs):
+    rows = pack_linear(docs, "doc_id", "text", 512).collect()
+    # bins are dense from 0; docs in a bin are ordered; total stream length
+    # is conserved; each bin's token total stays within budget + one tail
+    bins = {}
+    for r in rows:
+        bins.setdefault(r["bin_id"], []).append(r)
+    assert sorted(bins) == list(range(len(bins)))
+    for b, items in bins.items():
+        items.sort(key=lambda r: r["offset_in_bin"])
+        assert [r["offset_in_bin"] for r in items] == list(range(len(items)))
+        total = sum(r["n_tokens"] for r in items)
+        tail = items[-1]["n_tokens"]
+        assert total - tail < 512  # all but the tail fit the budget
+    with pytest.raises(ValueError):
+        pack_linear(docs, "doc_id", "text", 0)
