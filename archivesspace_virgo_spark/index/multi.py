@@ -1,0 +1,83 @@
+"""Multi-index (collection-alias / distributed) search.
+
+Solr serves one logical query over many shards/collections by running the
+query per shard and merge-sorting the per-shard top-k by score (the
+reference's Solr is single-core, but the select handler it programs
+against is the same one SolrCloud distributes; SolrHelper.java:39-80).
+Lucene/Solr's DEFAULT distributed scoring uses PER-SHARD corpus stats
+(idf from each shard's own df/N — ExactStatsCache is the opt-in global
+variant); this module implements that default contract exactly: each
+member index scores with its own statistics, and only the ≤k ranked rows
+per index are merged.
+
+At 100 TB this is the cross-collection layer: each member is itself a
+sharded index (doc_shard partitions inside), so a query fans out to
+|indexes| × |shards| kernel tasks and funnels |indexes| × k rows through
+one TakeOrdered — no stats exchange, no postings movement.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class MultiIndexEngine:
+    """Query a list of QueryEngines as one logical collection.
+
+    ``labels`` names each member (defaults to its position); results carry
+    an ``index_id`` column since doc_ids are only unique per member.
+    Ties across members break on (index_id, doc_id) for determinism.
+    """
+
+    def __init__(self, engines: Sequence, labels: Optional[Sequence[str]] = None):
+        if not engines:
+            raise ValueError("MultiIndexEngine needs at least one engine")
+        self.engines = list(engines)
+        self.labels = [str(x) for x in
+                       (labels if labels is not None else range(len(engines)))]
+        if len(self.labels) != len(self.engines):
+            raise ValueError("labels must match engines")
+
+    def _tagged(self, label: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(label).alias("index_id"), "*")
+
+    def search(self, terms: Sequence[str], k: int = 10, mode: str = "or",
+               offset: int = 0, **kw) -> DataFrame:
+        """(index_id, doc_id, score): global top-k across members.
+
+        Each member returns its own top-(k+offset) under its own stats
+        (Solr per-shard idf default); the merge is one ≤|members|·(k+offset)
+        row TakeOrdered."""
+        parts = [
+            self._tagged(lab, e.search(terms, k=k + offset, mode=mode, **kw))
+            for lab, e in zip(self.labels, self.engines)
+        ]
+        u = reduce(DataFrame.unionByName, parts)
+        ordered = u.orderBy(F.desc("score"), F.asc("index_id"),
+                            F.asc("doc_id"))
+        if offset:
+            ordered = ordered.offset(offset)
+        return ordered.limit(k)
+
+    def count(self, terms: Sequence[str], mode: str = "or", **kw) -> int:
+        """Exact numFound = sum of member counts (disjoint members)."""
+        return sum(e.count(terms, mode=mode, **kw) for e in self.engines)
+
+    def facet_search(self, terms: Sequence[str], field: str,
+                     mode: str = "or", **kw) -> DataFrame:
+        """Facet counts over the union match set: member facets are
+        partial aggregates, summed per value — the distributed-facet
+        refinement step, without the approximate first phase (members
+        return complete counts, so no refinement error)."""
+        parts = [
+            e.facet_search(terms, field, mode=mode, **kw)
+            for e in self.engines
+        ]
+        u = reduce(DataFrame.unionByName, parts)
+        return u.groupBy(field).agg(
+            F.sum("facet_count").alias("facet_count")
+        )

@@ -1,0 +1,78 @@
+"""Multi-index (collection-alias / distributed) search: per-member stats
+merge contract (Solr distributed default), pinned against a pure-Python
+merge of the members' own (already oracle-pinned) results.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from archivesspace_virgo_spark.config import IndexConfig
+from archivesspace_virgo_spark.corpus import load_documents_as_corpus
+from archivesspace_virgo_spark.index.build import build_index
+from archivesspace_virgo_spark.index.multi import MultiIndexEngine
+from archivesspace_virgo_spark.index.query import QueryEngine
+
+from tests.conftest import SF_SMOKE
+
+CFG = IndexConfig(docs_per_shard=64, block_size=16)
+TERMS = ["spark", "window", "merge"]
+
+
+@pytest.fixture(scope="module")
+def engines(spark, tmp_path_factory):
+    corpus = load_documents_as_corpus(spark, SF_SMOKE)
+    out = []
+    for name, pred in [("a", F.col("doc_id") % 2 == 0),
+                       ("b", F.col("doc_id") % 2 == 1)]:
+        d = str(tmp_path_factory.mktemp(f"mi_{name}"))
+        build_index(spark, corpus.filter(pred), d, CFG)
+        out.append(QueryEngine(spark, d, CFG))
+    return out
+
+
+def _rows(df):
+    return [(r["index_id"], r["doc_id"], round(r["score"], 6))
+            for r in df.collect()]
+
+
+def test_search_merges_member_topk(engines):
+    multi = MultiIndexEngine(engines, labels=["a", "b"])
+    got = _rows(multi.search(TERMS, k=10))
+    member = []
+    for lab, e in zip(["a", "b"], engines):
+        member += [(lab, r["doc_id"], round(r["score"], 6))
+                   for r in e.search(TERMS, k=10).collect()]
+    member.sort(key=lambda t: (-t[2], t[0], t[1]))
+    assert got == member[:10] and len(got) == 10
+    # per-member stats contract: a doc's score equals its own member's
+    for lab, d, s in got:
+        e = engines[0] if lab == "a" else engines[1]
+        own = {r["doc_id"]: round(r["score"], 6)
+               for r in e.search(TERMS, k=10).collect()}
+        assert own[d] == s
+
+
+def test_paging_is_consistent(engines):
+    multi = MultiIndexEngine(engines, labels=["a", "b"])
+    full = _rows(multi.search(TERMS, k=10))
+    page2 = _rows(multi.search(TERMS, k=5, offset=5))
+    assert page2 == full[5:]
+
+
+def test_count_and_facet_sum_members(engines):
+    multi = MultiIndexEngine(engines, labels=["a", "b"])
+    assert multi.count(TERMS) == sum(e.count(TERMS) for e in engines)
+    fc = {r["lang"]: r["facet_count"]
+          for r in multi.facet_search(TERMS, "lang").collect()}
+    exp = {}
+    for e in engines:
+        for r in e.facet_search(TERMS, "lang").collect():
+            exp[r["lang"]] = exp.get(r["lang"], 0) + r["facet_count"]
+    assert fc == exp and sum(fc.values()) == multi.count(TERMS)
+
+
+def test_guards(engines):
+    with pytest.raises(ValueError):
+        MultiIndexEngine([])
+    with pytest.raises(ValueError):
+        MultiIndexEngine(engines, labels=["only-one"])
