@@ -635,6 +635,83 @@ class QueryEngine:
             kern, schema="doc_id long, term string, contrib double"
         )
 
+    # --- Lucene Explanation / Solr debugQuery=true: per-term score
+    # breakdown for specific documents ---
+    def explain(self, terms: Sequence[str], doc_ids: Sequence[int],
+                boosts: Optional[dict] = None) -> DataFrame:
+        """(doc_id, term, idf, tf, dl, contrib) for the given docs: every
+        query term's BM25 factors and contribution, summing to exactly the
+        ``search`` score (same kernel arithmetic; the per-doc tf/dl are
+        decoded from the same postings).  Bounded output: |docs|·|terms|
+        rows; the postings scan is still pruned to the query terms."""
+        ids = sorted({int(d) for d in doc_ids})
+        if not ids:
+            return self.spark.createDataFrame(
+                [], "doc_id long, term string, idf double, tf long, "
+                    "dl long, contrib double")
+        parsed = {self._parse_term(t) for t in terms}
+        uniq = sorted(stored for _f, stored in parsed)
+        fields = {stored: f for f, stored in parsed}
+        stats = self.term_stats(uniq)
+        live = [t for t in uniq if t in stats]
+        if not live:
+            return self.spark.createDataFrame(
+                [], "doc_id long, term string, idf double, tf long, "
+                    "dl long, contrib double")
+        boost_of = {}
+        for t, w in (boosts or {}).items():
+            _f, stored = self._parse_term(t)
+            boost_of[stored] = float(w)
+        idfs = [lucene_idf(self.field_stats[fields[t]][0], stats[t][0])
+                * boost_of.get(t, 1.0) for t in live]
+        avgdls = [self.field_stats[fields[t]][1] for t in live]
+        k1, b = self.config.k1, self.config.b
+        docs_per_shard = self.config.docs_per_shard
+        params = dict(zip(live, zip(idfs, avgdls)))
+        id_set = set(ids)
+        shards = sorted({d // docs_per_shard for d in ids})
+
+        from archivesspace_virgo_spark import codec  # re-imported on workers
+
+        def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = {"doc_id": [], "term": [], "idf": [], "tf": [],
+                   "dl": [], "contrib": []}
+            for t, row in zip(pdf["term"], pdf.itertuples(index=False)):
+                if t not in params:
+                    continue
+                idf, avgdl = params[t]
+                d, tfs, dls = codec.decode_postings(
+                    row.doc_blob, row.tf_blob, row.dl_blob
+                )
+                mask = np.isin(d, np.fromiter(id_set, dtype=np.int64))
+                for di, tfi, dli in zip(d[mask], tfs[mask], dls[mask]):
+                    c = idf * float(tfi) / (
+                        float(tfi)
+                        + k1 * (1.0 - b + b * float(dli) / avgdl)
+                    )
+                    out["doc_id"].append(int(di))
+                    out["term"].append(t)
+                    out["idf"].append(idf)
+                    out["tf"].append(int(tfi))
+                    out["dl"].append(int(dli))
+                    out["contrib"].append(c)
+            return pd.DataFrame(out) if out["doc_id"] else pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "term": pd.Series(dtype="object"),
+                "idf": pd.Series(dtype="float64"),
+                "tf": pd.Series(dtype="int64"),
+                "dl": pd.Series(dtype="int64"),
+                "contrib": pd.Series(dtype="float64"),
+            })
+
+        postings = self._postings_df().filter(
+            F.col("term").isin(live) & F.col("doc_shard").isin(shards)
+        ).select("doc_shard", "term", "doc_blob", "tf_blob", "dl_blob")
+        return postings.groupBy("doc_shard").applyInPandas(
+            kern, schema="doc_id long, term string, idf double, tf long, "
+                         "dl long, contrib double"
+        ).orderBy("doc_id", "term")
+
     # --- Solr DisMax (defType=dismax, qf=f1 f2 ..., tie=t): per query
     # term, a DisjunctionMaxQuery across the qf fields; terms combine as a
     # boolean OR sum ---
