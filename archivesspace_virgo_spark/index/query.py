@@ -1144,7 +1144,8 @@ class QueryEngine:
     # the quoted-phrase syntax of the reference's Solr q=..., per
     # SolrHelper.java:39-80) ---
     def phrase_search(self, phrase, k: int = 10, field: Optional[str] = None,
-                      offset: int = 0) -> DataFrame:
+                      offset: int = 0,
+                      only_doc_ids: Optional[Sequence[int]] = None) -> DataFrame:
         """Exact-phrase BM25 top-k: docs where the terms occur consecutively.
 
         Scoring follows Lucene's PhraseQuery contract: tf = exact phrase
@@ -1155,12 +1156,18 @@ class QueryEngine:
         ``local_doc * 2^33 + (position - i)``; the phrase's start positions
         are the running ``np.intersect1d`` across terms — fully vectorized,
         no per-doc loop.  Only ≤k partial rows leave each shard.
+
+        ``only_doc_ids`` restricts matching to those docs (the ReRank
+        window): the postings scan prunes to their shards and the kernel
+        masks candidates, so the cost is bounded by the window.
         """
         from archivesspace_virgo_spark.tokenizer import tokenize_text
 
         terms = tokenize_text(phrase) if isinstance(phrase, str) else list(phrase)
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if not terms:
+            return empty
+        if only_doc_ids is not None and not len(only_doc_ids):
             return empty
         default = self.config.fields[0]
         field = field or default
@@ -1175,7 +1182,10 @@ class QueryEngine:
         )
         k1, b = self.config.k1, self.config.b
         docs_per_shard = self.config.docs_per_shard
-        kk = k + offset
+        only_ids = (np.asarray(sorted(set(only_doc_ids)), dtype=np.int64)
+                    if only_doc_ids is not None else None)
+        kk = (k + offset if only_ids is None
+              else max(k + offset, only_ids.size))
 
         from archivesspace_virgo_spark import codec  # re-imported on workers
 
@@ -1211,6 +1221,11 @@ class QueryEngine:
                 if keys.size == 0:
                     return empty_p
             hit, ptf = np.unique(keys // M, return_counts=True)
+            if only_ids is not None:
+                keep_w = np.isin(hit + base, only_ids)
+                hit, ptf = hit[keep_w], ptf[keep_w]
+                if hit.size == 0:
+                    return empty_p
             ldoc0, dl0, _, _ = dec[stored[0]]
             dls = dl0[np.searchsorted(ldoc0, hit)].astype(np.float64)
             ptf = ptf.astype(np.float64)
@@ -1228,7 +1243,11 @@ class QueryEngine:
                 "score": score[order],
             })
 
-        postings = self._postings_df().filter(F.col("term").isin(uniq)).select(
+        postings = self._postings_df().filter(F.col("term").isin(uniq))
+        if only_ids is not None:
+            shards = sorted({int(d) // docs_per_shard for d in only_ids})
+            postings = postings.filter(F.col("doc_shard").isin(shards))
+        postings = postings.select(
             "doc_shard", "term", "doc_blob", "tf_blob", "dl_blob", "pos_blob"
         )
         partials = postings.groupBy("doc_shard").applyInPandas(
@@ -1237,14 +1256,15 @@ class QueryEngine:
         ordered = partials.orderBy(F.desc("score"), F.asc("doc_id"))
         if offset:
             ordered = ordered.offset(offset)
-        return ordered.limit(k)
+        return ordered.limit(kk if only_ids is not None else k)
 
     # --- ordered proximity query (Lucene SpanNearQuery(inOrder=true) /
     # the Solr ``"a b"~N`` proximity surface; built on the same stored v7
     # positions as phrase_search) ---
     def span_near_search(self, phrase, slop: int = 0, k: int = 10,
                          field: Optional[str] = None,
-                         offset: int = 0) -> DataFrame:
+                         offset: int = 0,
+                         only_doc_ids: Optional[Sequence[int]] = None) -> DataFrame:
         """BM25 top-k for docs where the terms occur IN ORDER within
         ``slop`` total gap positions.
 
@@ -1272,6 +1292,8 @@ class QueryEngine:
             return empty
         if slop < 0:
             raise ValueError("slop must be >= 0")
+        if only_doc_ids is not None and not len(only_doc_ids):
+            return empty
         default = self.config.fields[0]
         field = field or default
         stored = [t if field == default else f"{field}:{t}" for t in terms]
@@ -1285,7 +1307,10 @@ class QueryEngine:
         )
         k1, b = self.config.k1, self.config.b
         docs_per_shard = self.config.docs_per_shard
-        kk = k + offset
+        only_ids = (np.asarray(sorted(set(only_doc_ids)), dtype=np.int64)
+                    if only_doc_ids is not None else None)
+        kk = (k + offset if only_ids is None
+              else max(k + offset, only_ids.size))
         n_terms = len(stored)
 
         from archivesspace_virgo_spark import codec  # re-imported on workers
@@ -1334,6 +1359,11 @@ class QueryEngine:
             hit, inv = np.unique(docs, return_inverse=True)
             sf = np.zeros(hit.size, dtype=np.float64)
             np.add.at(sf, inv, w)
+            if only_ids is not None:
+                keep_w = np.isin(hit + base, only_ids)
+                hit, sf = hit[keep_w], sf[keep_w]
+                if hit.size == 0:
+                    return empty_p
             ldoc0, dl0, _, _ = dec[stored[0]]
             dls = dl0[np.searchsorted(ldoc0, hit)].astype(np.float64)
             score = idf_sum * sf / (
@@ -1350,7 +1380,11 @@ class QueryEngine:
                 "score": score[order],
             })
 
-        postings = self._postings_df().filter(F.col("term").isin(uniq)).select(
+        postings = self._postings_df().filter(F.col("term").isin(uniq))
+        if only_ids is not None:
+            shards = sorted({int(d) // docs_per_shard for d in only_ids})
+            postings = postings.filter(F.col("doc_shard").isin(shards))
+        postings = postings.select(
             "doc_shard", "term", "doc_blob", "tf_blob", "dl_blob", "pos_blob"
         )
         partials = postings.groupBy("doc_shard").applyInPandas(
@@ -1359,7 +1393,42 @@ class QueryEngine:
         ordered = partials.orderBy(F.desc("score"), F.asc("doc_id"))
         if offset:
             ordered = ordered.offset(offset)
-        return ordered.limit(k)
+        return ordered.limit(kk if only_ids is not None else k)
+
+    # --- Solr ReRankQParser (rq={!rerank reRankQuery=... reRankDocs=N
+    # reRankWeight=w}): re-score the top-N window of a main query by
+    # adding w x a second query's score ---
+    def rerank(self, terms: Sequence[str], rerank_phrase, k: int = 10,
+               rerank_docs: int = 50, weight: float = 2.0,
+               mode: str = "or", slop: int = 0) -> DataFrame:
+        """Solr's two-pass rerank contract: run the main query, take its
+        top ``rerank_docs`` window, and reorder that window by
+        ``main_score + weight · phrase_score`` (docs the rerank query
+        doesn't match keep their main score).  The window ids are a
+        bounded driver-side collect (Solr's reRankDocs is likewise a small
+        window); the second pass prunes its postings scan to the window's
+        shards and masks candidates in-kernel, so its cost is bounded by
+        the window, not the corpus."""
+        base = self.search(terms, k=rerank_docs, mode=mode)
+        window = [(int(r["doc_id"]), float(r["score"]))
+                  for r in base.collect()]
+        if not window:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        ids = [d for d, _s in window]
+        if slop > 0:
+            second = self.span_near_search(rerank_phrase, slop=slop,
+                                           k=len(ids), only_doc_ids=ids)
+        else:
+            second = self.phrase_search(rerank_phrase, k=len(ids),
+                                        only_doc_ids=ids)
+        ph = {int(r["doc_id"]): float(r["score"]) for r in second.collect()}
+        rescored = [
+            (d, s + weight * ph.get(d, 0.0)) for d, s in window
+        ]
+        rescored.sort(key=lambda ds: (-ds[1], ds[0]))
+        return self.spark.createDataFrame(
+            rescored[:k], "doc_id long, score double"
+        )
 
     # --- highlighting (Lucene UnifiedHighlighter surface: the hl=true
     # snippet field the reference's Solr responses carry back to Virgo,
