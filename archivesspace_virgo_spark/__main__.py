@@ -14,6 +14,9 @@ this engine.  Built for ``spark-submit --py-files pkg.zip -m`` or plain
     group   --index DIR --terms t1,t2 --field lang [--k-per-group N]
     sort    --index DIR --terms t1,t2 --field path [--desc] [-k N]
     dismax  --index DIR --terms t1,t2 --fields content,lang [--tie T]
+    rerank  --index DIR --terms t1,t2 --phrase "p" [--weight W]
+            [--rerank-docs N] [--slop N]
+    explain --index DIR --terms t1,t2 --ids 3,17
     stats   --index DIR --terms t1,t2 [--field content]
     terms   --index DIR [--prefix s] [-n N] [--min-df N] [--index-order]
     suggest --index DIR --term tble [-n N]
@@ -68,7 +71,7 @@ def main(argv=None) -> int:
     s.add_argument("--docs-per-shard", type=int, default=4096)
 
     for name in ("query", "search", "phrase", "facet", "group", "sort",
-                 "dismax", "stats", "terms", "suggest"):
+                 "dismax", "rerank", "explain", "stats", "terms", "suggest"):
         q = sub.add_parser(name)
         q.add_argument("--index", required=True)
         q.add_argument("--fields", default="content")
@@ -108,6 +111,16 @@ def main(argv=None) -> int:
                            help="fields to search, comma-separated "
                                 "(default: all indexed fields)")
             q.add_argument("--tie", type=float, default=0.0)
+        elif name == "rerank":
+            q.add_argument("--terms", required=True)
+            q.add_argument("--phrase", required=True)
+            q.add_argument("--weight", type=float, default=2.0)
+            q.add_argument("--rerank-docs", type=int, default=50)
+            q.add_argument("--slop", type=int, default=0)
+        elif name == "explain":
+            q.add_argument("--terms", required=True)
+            q.add_argument("--ids", required=True,
+                           help="doc ids to explain, comma-separated")
         elif name == "stats":
             q.add_argument("--terms", required=True)
             q.add_argument("--stats-field", default=None)
@@ -230,6 +243,14 @@ def main(argv=None) -> int:
             _print_df(engine.dismax_search(
                 a.terms.split(","), fields=qf, tie=a.tie, k=a.k
             ))
+        elif a.cmd == "rerank":
+            _print_df(engine.rerank(
+                a.terms.split(","), a.phrase, k=a.k,
+                rerank_docs=a.rerank_docs, weight=a.weight, slop=a.slop,
+            ))
+        elif a.cmd == "explain":
+            ids = [int(x) for x in a.ids.split(",") if x]
+            _print_df(engine.explain(a.terms.split(","), ids))
         elif a.cmd == "stats":
             _print_df(engine.stats_component(
                 a.terms.split(","), field=a.stats_field

@@ -99,3 +99,14 @@ def test_cli_build_query_phrase_facet(tmp_path):
     r = _run("phrase", "--index", idx, "--phrase", "value table",
              "--slop", "2", "--docs-per-shard", "64", "-k", "3")
     assert r.returncode == 0, r.stderr[-2000:]
+
+    r = _run("rerank", "--index", idx, "--terms", "table,value",
+             "--phrase", "value table", "--rerank-docs", "10",
+             "--docs-per-shard", "64", "-k", "3")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "score" in r.stdout
+
+    r = _run("explain", "--index", idx, "--terms", "table,join",
+             "--ids", "0,1,2", "--docs-per-shard", "64")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "contrib" in r.stdout
