@@ -13,7 +13,9 @@ this engine.  Built for ``spark-submit --py-files pkg.zip -m`` or plain
     facet   --index DIR --terms t1,t2 --field lang [--exclude t3]
     group   --index DIR --terms t1,t2 --field lang [--k-per-group N]
     sort    --index DIR --terms t1,t2 --field path [--desc] [-k N]
-    dismax  --index DIR --terms t1,t2 --fields content,lang [--tie T]
+    dismax  --index DIR --terms t1,t2 --qf content,lang [--tie T]
+            (--fields sets the index field config; --qf is the DisMax
+            qf list)
     rerank  --index DIR --terms t1,t2 --phrase "p" [--weight W]
             [--rerank-docs N] [--slop N]
     explain --index DIR --terms t1,t2 --ids 3,17

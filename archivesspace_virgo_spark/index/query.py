@@ -772,7 +772,8 @@ class QueryEngine:
     def boolean_search(self, clauses: Sequence[Sequence[str]], k: int = 10,
                        offset: int = 0, exclude: Sequence[str] = (),
                        boosts: Optional[dict] = None,
-                       filters: Sequence[Sequence[str]] = ()) -> DataFrame:
+                       filters: Sequence[Sequence[str]] = (),
+                       optional_terms: Sequence[str] = ()) -> DataFrame:
         """BM25 top-k where a doc must match ≥1 term of EVERY clause.
 
         Lucene semantics: score = sum over clauses of the clause's matched
@@ -780,16 +781,29 @@ class QueryEngine:
         times (BooleanQuery does not dedup identical clauses), implemented
         as an m× idf multiplier.  Composes with ``exclude`` (MUST_NOT) and
         ``boosts``.  Clause coverage is tracked shard-locally with a
-        bitmask — same single scoring pass, no extra shuffle."""
+        bitmask — same single scoring pass, no extra shuffle.
+
+        ``optional_terms`` are SHOULD clauses next to the MUST clauses
+        (Lucene ``+a b``): they contribute to a qualifying doc's score but
+        are not required — clause-bits 0 in the kernel, so they never
+        affect qualification."""
         if not clauses:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            # pure-SHOULD query: identical to a flat scoring OR
+            return self.search(list(optional_terms), k=k, offset=offset,
+                               exclude=exclude, boosts=boosts)
         term_cl: dict = {}
         fields: dict = {}
+        opt_count: dict = {}
         for ci, cl in enumerate(clauses):
             for t in cl:
                 f, stored = self._parse_term(t)
                 term_cl.setdefault(stored, set()).add(ci)
                 fields[stored] = f
+        for t in optional_terms:
+            f, stored = self._parse_term(t)
+            opt_count[stored] = opt_count.get(stored, 0) + 1
+            term_cl.setdefault(stored, set())
+            fields[stored] = f
         uniq = sorted(term_cl)
         stats = self.term_stats(uniq)
         live = [t for t in uniq if t in stats]
@@ -813,7 +827,8 @@ class QueryEngine:
             boost_of[stored] = float(w)
         idfs = [
             lucene_idf(self.field_stats[fields[t]][0], stats[t][0])
-            * boost_of.get(t, 1.0) * len(term_cl[t])
+            * boost_of.get(t, 1.0)
+            * (len(term_cl[t]) + opt_count.get(t, 0))
             for t in live
         ]
         avgdls = [self.field_stats[fields[t]][1] for t in live]
@@ -864,14 +879,23 @@ class QueryEngine:
             self._term_cache[r["term"]] = (int(r["df"]), int(r["cf"]))
         return [r["term"] for r in rows]
 
+    def _default_field_guard(self, field: str, pred):
+        """Lucene expands multi-term queries PER FIELD: a default-field
+        expansion must never match scoped ``field:term`` lexicon entries
+        (``la*`` must not return ``lang:en`` on a multi-field index), so the
+        default-field predicate additionally excludes any term containing
+        ``:`` — same guard as ``_expand_range`` / ``terms_component``."""
+        if field == self.config.fields[0]:
+            return pred & ~F.col("term").contains(":")
+        return pred
+
     def _expand_prefix(self, prefix: str, max_expansions: int) -> List[str]:
         bare = prefix[:-1] if prefix.endswith("*") else prefix
-        _field, stored = self._parse_term(bare)
-        # stored default-field terms never contain ':' (the tokenizer strips
-        # non-alphanumerics), so a bare prefix cannot match scoped terms
-        return self._expand(
-            F.col("term").startswith(stored), max_expansions, f"prefix '{prefix}'"
+        field, stored = self._parse_term(bare)
+        pred = self._default_field_guard(
+            field, F.col("term").startswith(stored)
         )
+        return self._expand(pred, max_expansions, f"prefix '{prefix}'")
 
     def prefix_search(self, prefix: str, k: int = 10, offset: int = 0,
                       max_expansions: int = 1024) -> DataFrame:
@@ -887,10 +911,11 @@ class QueryEngine:
 
     def _expand_fuzzy(self, term: str, max_edits: int, prefix_length: int,
                       max_expansions: int) -> List[str]:
-        _field, stored = self._parse_term(term)
+        field, stored = self._parse_term(term)
         pred = F.levenshtein(F.col("term"), F.lit(stored)) <= max_edits
         if prefix_length > 0:
             pred = pred & F.col("term").startswith(stored[:prefix_length])
+        pred = self._default_field_guard(field, pred)
         return self._expand(pred, max_expansions, f"fuzzy '{term}'")
 
     def fuzzy_search(self, term: str, k: int = 10, max_edits: int = 1,
@@ -911,15 +936,13 @@ class QueryEngine:
     def _expand_wildcard(self, pattern: str, max_expansions: int) -> List[str]:
         import re as _re
 
-        _field, stored = self._parse_term(pattern)
+        field, stored = self._parse_term(pattern)
         rx = "".join(
             ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
             for ch in stored
         )
-        return self._expand(
-            F.col("term").rlike(f"^{rx}$"), max_expansions,
-            f"wildcard '{pattern}'",
-        )
+        pred = self._default_field_guard(field, F.col("term").rlike(f"^{rx}$"))
+        return self._expand(pred, max_expansions, f"wildcard '{pattern}'")
 
     def wildcard_search(self, pattern: str, k: int = 10, offset: int = 0,
                         max_expansions: int = 1024) -> DataFrame:
@@ -934,16 +957,15 @@ class QueryEngine:
         return self.search(terms, k=k, mode="or", offset=offset)
 
     def _expand_regexp(self, regex: str, max_expansions: int) -> List[str]:
-        _field, stored = self._parse_term(regex)
-        if _field != self.config.fields[0]:
+        field, stored = self._parse_term(regex)
+        if field != self.config.fields[0]:
             fld, body = stored.split(":", 1)
             import re as _re
             rx = f"{_re.escape(fld)}:(?:{body})"
         else:
             rx = f"(?:{stored})"
-        return self._expand(
-            F.col("term").rlike(f"^{rx}$"), max_expansions, f"regexp '{regex}'"
-        )
+        pred = self._default_field_guard(field, F.col("term").rlike(f"^{rx}$"))
+        return self._expand(pred, max_expansions, f"regexp '{regex}'")
 
     def regexp_search(self, regex: str, k: int = 10, offset: int = 0,
                       max_expansions: int = 1024) -> DataFrame:
@@ -1032,13 +1054,23 @@ class QueryEngine:
         for lo, hi, ilo, ihi, fld in pq.ranges:
             expansions.append(self._expand_range(lo, hi, ilo, ihi, fld,
                                                  max_expansions))
-        if pq.mode == "and" and expansions:
+        if pq.mode == "and" and (expansions or pq.must):
             # an empty expansion is an unsatisfiable MUST clause (Lucene's
-            # rewritten MatchNoDocsQuery) — boolean_search handles it
-            clauses = [[t] for t in pq.terms] + expansions
+            # rewritten MatchNoDocsQuery) — boolean_search handles it;
+            # under q.op=AND every positive clause is required, so '+'
+            # terms fold into the MUST clause list
+            clauses = [[t] for t in pq.terms + pq.must] + expansions
             return self.boolean_search(clauses, k=k, offset=offset,
                                        exclude=pq.exclude,
                                        boosts=pq.boosts or None)
+        if pq.must:
+            # '+a b': MUST terms become single-term clauses, bare terms
+            # (and any expansions) ride along as scoring-optional SHOULD
+            opt = list(pq.terms) + [t for ex in expansions for t in ex]
+            return self.boolean_search([[t] for t in pq.must], k=k,
+                                       offset=offset, exclude=pq.exclude,
+                                       boosts=pq.boosts or None,
+                                       optional_terms=opt)
         terms = list(pq.terms) + [t for ex in expansions for t in ex]
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
@@ -1057,7 +1089,7 @@ class QueryEngine:
         edits first, then higher df (more popular), then term — entirely as
         a distributed lexicon filter + TakeOrdered(n); no collect of the
         expansion.  Returns (term, df, distance)."""
-        _field, stored = self._parse_term(term)
+        field, stored = self._parse_term(term)
         pred = (
             (F.levenshtein(F.col("term"), F.lit(stored)) <= max_edits)
             & (F.col("term") != stored)
@@ -1065,6 +1097,7 @@ class QueryEngine:
         )
         if prefix_length > 0:
             pred = pred & F.col("term").startswith(stored[:prefix_length])
+        pred = self._default_field_guard(field, pred)
         return (
             self._lexicon_df()
             .filter(pred)
@@ -1256,7 +1289,9 @@ class QueryEngine:
         ordered = partials.orderBy(F.desc("score"), F.asc("doc_id"))
         if offset:
             ordered = ordered.offset(offset)
-        return ordered.limit(kk if only_ids is not None else k)
+        # external contract is always ≤k rows; only_doc_ids callers that
+        # need the whole window (rerank) pass k = window size
+        return ordered.limit(k)
 
     # --- ordered proximity query (Lucene SpanNearQuery(inOrder=true) /
     # the Solr ``"a b"~N`` proximity surface; built on the same stored v7
@@ -1393,7 +1428,8 @@ class QueryEngine:
         ordered = partials.orderBy(F.desc("score"), F.asc("doc_id"))
         if offset:
             ordered = ordered.offset(offset)
-        return ordered.limit(kk if only_ids is not None else k)
+        # external contract is always ≤k rows (see phrase_search)
+        return ordered.limit(k)
 
     # --- Solr ReRankQParser (rq={!rerank reRankQuery=... reRankDocs=N
     # reRankWeight=w}): re-score the top-N window of a main query by
@@ -1404,16 +1440,20 @@ class QueryEngine:
         """Solr's two-pass rerank contract: run the main query, take its
         top ``rerank_docs`` window, and reorder that window by
         ``main_score + weight · phrase_score`` (docs the rerank query
-        doesn't match keep their main score).  The window ids are a
-        bounded driver-side collect (Solr's reRankDocs is likewise a small
-        window); the second pass prunes its postings scan to the window's
-        shards and masks candidates in-kernel, so its cost is bounded by
-        the window, not the corpus."""
-        base = self.search(terms, k=rerank_docs, mode=mode)
-        window = [(int(r["doc_id"]), float(r["score"]))
-                  for r in base.collect()]
-        if not window:
+        doesn't match keep their main score).  When ``k > rerank_docs``,
+        docs beyond the window keep their ORIGINAL scores and order and
+        follow the reranked window (Solr's ReRankQParser contract — the
+        result may be non-monotonic in score across the window boundary).
+        The window ids are a bounded driver-side collect (Solr's
+        reRankDocs is likewise a small window); the second pass prunes its
+        postings scan to the window's shards and masks candidates
+        in-kernel, so its cost is bounded by the window, not the corpus."""
+        base = self.search(terms, k=max(k, rerank_docs), mode=mode)
+        hits = [(int(r["doc_id"]), float(r["score"]))
+                for r in base.collect()]
+        if not hits:
             return self.spark.createDataFrame([], "doc_id long, score double")
+        window, tail = hits[:rerank_docs], hits[rerank_docs:]
         ids = [d for d, _s in window]
         if slop > 0:
             second = self.span_near_search(rerank_phrase, slop=slop,
@@ -1427,7 +1467,7 @@ class QueryEngine:
         ]
         rescored.sort(key=lambda ds: (-ds[1], ds[0]))
         return self.spark.createDataFrame(
-            rescored[:k], "doc_id long, score double"
+            (rescored + tail)[:k], "doc_id long, score double"
         )
 
     # --- highlighting (Lucene UnifiedHighlighter surface: the hl=true

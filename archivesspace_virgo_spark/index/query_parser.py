@@ -19,6 +19,9 @@ exercises, one clause family per query:
     boost    := '^' number
     connective 'AND' between clauses → every positive clause required
     (q.op=AND); default is OR.  'OR' is accepted and is the default.
+    '+term' (MUST) requires that term while leaving bare terms optional
+    (Lucene BooleanClause.Occur.MUST next to SHOULD clauses); '+' on a
+    multi-term clause (prefix/wildcard/fuzzy/regexp/range) raises.
 
 Unsupported combinations raise ValueError rather than silently mis-scoring
 (Lucene parity: a phrase cannot carry a wildcard; we additionally refuse
@@ -55,6 +58,7 @@ _TOKEN_RX = re.compile(
 class ParsedQuery:
     """One clause family, engine-dispatchable."""
     terms: List[str] = field(default_factory=list)       # literal terms
+    must: List[str] = field(default_factory=list)        # '+term' MUST terms
     exclude: List[str] = field(default_factory=list)     # MUST_NOT terms
     boosts: Dict[str, float] = field(default_factory=dict)
     mode: str = "or"                                     # 'or' | 'and'
@@ -98,6 +102,9 @@ def parse_query(q: str) -> ParsedQuery:
             body = m.group("phrase_body").strip()
             if occur == "-":
                 raise ValueError("negated phrase clauses are not supported")
+            # '+phrase' is accepted: a lone phrase clause is implicitly
+            # required (MUST and SHOULD are indistinguishable for a
+            # single-clause query, and mixing phrase + terms is rejected)
             if out.phrase is not None:
                 raise ValueError("only one phrase clause per query")
             if boost is not None:
@@ -111,9 +118,9 @@ def parse_query(q: str) -> ParsedQuery:
             fld = (m.group("fldr") or "").rstrip(":") or None
             lo = None if m.group("lo") == "*" else m.group("lo")
             hi = None if m.group("hi") == "*" else m.group("hi")
-            if occur == "-" or boost is not None:
+            if occur is not None or boost is not None:
                 raise ValueError(
-                    "range clauses support neither '-' nor boosts here")
+                    "range clauses support neither occurs nor boosts here")
             out.ranges.append(
                 (lo, hi, m.group("lob") == "[", m.group("hib") == "]", fld)
             )
@@ -122,9 +129,9 @@ def parse_query(q: str) -> ParsedQuery:
         if m.group("regex") is not None:
             fld = (m.group("fldx") or "").rstrip(":")
             body = m.group("regex_body")
-            if occur == "-" or boost is not None:
+            if occur is not None or boost is not None:
                 raise ValueError(
-                    "regexp clauses support neither '-' nor boosts here")
+                    "regexp clauses support neither occurs nor boosts here")
             out.regexps.append(f"{fld}:{body}" if fld else body)
             continue
 
@@ -132,15 +139,15 @@ def parse_query(q: str) -> ParsedQuery:
         fuzzy = re.fullmatch(r"(.+)~(\d*)", word)
         if fuzzy:
             base, edits = fuzzy.group(1), int(fuzzy.group(2) or 2)
-            if occur == "-" or boost is not None:
+            if occur is not None or boost is not None:
                 raise ValueError(
-                    "fuzzy clauses support neither '-' nor boosts here")
+                    "fuzzy clauses support neither occurs nor boosts here")
             out.fuzzies.append((base, edits))
             continue
         if "*" in word or "?" in word:
-            if occur == "-" or boost is not None:
+            if occur is not None or boost is not None:
                 raise ValueError(
-                    "wildcard clauses support neither '-' nor boosts here")
+                    "wildcard clauses support neither occurs nor boosts here")
             if word.endswith("*") and "*" not in word[:-1] and "?" not in word:
                 out.prefixes.append(word)
             else:
@@ -149,7 +156,13 @@ def parse_query(q: str) -> ParsedQuery:
         if occur == "-":
             out.exclude.append(word)
             continue
-        out.terms.append(word)
+        if occur == "+":
+            # Lucene BooleanClause.Occur.MUST: the doc must match this
+            # term; remaining bare terms stay optional (SHOULD) and still
+            # contribute to the score (boolean_search optional_terms)
+            out.must.append(word)
+        else:
+            out.terms.append(word)
         if boost is not None:
             out.boosts[word] = boost
         saw_positive_connected += 1
@@ -157,8 +170,8 @@ def parse_query(q: str) -> ParsedQuery:
     if pending_occur:
         raise ValueError(f"dangling occur operator {pending_occur!r}")
     if out.phrase is not None and (
-        out.terms or out.prefixes or out.wildcards or out.fuzzies
-        or out.regexps or out.ranges
+        out.terms or out.must or out.prefixes or out.wildcards
+        or out.fuzzies or out.regexps or out.ranges
     ):
         raise ValueError(
             "mixing a phrase clause with term clauses is not supported "

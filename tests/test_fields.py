@@ -80,3 +80,33 @@ def test_field_term_stats(built):
     assert stats["lang:en"][0] == oracle["lang"].df.get("en", 0)
     assert stats["path:doc"][0] == oracle["path"].df.get("doc", 0)
     assert "lang:nosuch" not in engine.term_stats(["lang:nosuch"])
+
+
+def test_default_field_expansions_exclude_scoped_terms(built):
+    """Lucene expands multi-term queries PER FIELD: a default-field
+    prefix/wildcard/fuzzy/regexp/suggest expansion must never leak scoped
+    ``field:term`` lexicon entries (``pat*`` must not return ``path:doc``
+    on a multi-field index)."""
+    engine, _ = built
+    # 'pat*' would previously match every 'path:...' entry via startswith
+    assert all(":" not in t for t in engine._expand_prefix("pat*", 1 << 16))
+    # 'la*' → rx '^la.*$' would previously match 'lang:de' etc.
+    assert all(":" not in t for t in engine._expand_wildcard("la*", 1 << 16))
+    assert all(":" not in t for t in engine._expand_regexp("la.*", 1 << 16))
+    # 'ang:en' is a DEFAULT-field term (no indexed field 'ang') one edit
+    # from the scoped entry 'lang:en' — fuzzy/suggest must not return it
+    assert all(":" not in t
+               for t in engine._expand_fuzzy("ang:en", 2, 0, 1 << 16))
+    sug = [r["term"] for r in
+           engine.suggest("ang:en", n=10, max_edits=2,
+                          prefix_length=0).collect()]
+    assert all(":" not in t for t in sug)
+
+
+def test_scoped_expansions_stay_in_field(built):
+    """Field-scoped expansions still work and stay inside their field."""
+    engine, _ = built
+    exp = engine._expand_prefix("path:d*", 1 << 16)
+    assert exp and all(t.startswith("path:") for t in exp)
+    lx = engine._expand_prefix("lang:*", 1 << 16)
+    assert lx and all(t.startswith("lang:") for t in lx)

@@ -157,3 +157,38 @@ def test_query_and_with_expansion_dispatches_boolean(engine):
 
 def test_query_empty_results(engine):
     assert engine.query("zzznope").count() == 0
+
+
+def test_must_occur_parses():
+    pq = parse_query("+spark stream")
+    assert pq.must == ["spark"] and pq.terms == ["stream"]
+    assert parse_query("+spark +stream").must == ["spark", "stream"]
+    # '+' with a boost keeps the boost on the MUST term
+    pqb = parse_query("+spark^2 stream")
+    assert pqb.must == ["spark"] and pqb.boosts == {"spark": 2.0}
+    # '+' on multi-term clauses is rejected rather than silently ignored
+    for bad in ("+pre*", "+te?t", "+fuzz~1", "+/sc.n/", "+[a TO b]"):
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def test_query_must_dispatch(engine):
+    got = _rows(engine.query("+scan stream"))
+    exp = _rows(engine.boolean_search([["scan"]],
+                                      optional_terms=["stream"]))
+    assert got == exp and got
+    # all-MUST equals the conjunctive query
+    assert _rows(engine.query("+scan +stream")) == _rows(
+        engine.search(["scan", "stream"], mode="and")
+    )
+
+
+def test_query_must_semantics(engine):
+    """'+scan stream' = docs containing scan, scored over scan+stream."""
+    must_docs = {r["doc_id"] for r in engine.match_ids(["scan"]).collect()}
+    scores = {r["doc_id"]: r["score"]
+              for r in engine.score_matches(["scan", "stream"]).collect()}
+    exp = sorted(((d, s) for d, s in scores.items() if d in must_docs),
+                 key=lambda ds: (-ds[1], ds[0]))[:10]
+    got = _rows(engine.query("+scan stream", k=10))
+    assert got == [(d, round(s, 6)) for d, s in exp]

@@ -77,3 +77,22 @@ def test_targeted_phrase_equals_global_restriction(engine):
     full = dict(_rows(engine.phrase_search(PHRASE, k=10 ** 6)))
     assert target == {d: s for d, s in full.items() if d in set(ids)}
     assert engine.phrase_search(PHRASE, only_doc_ids=[]).count() == 0
+
+
+def test_rerank_keeps_tail_beyond_window(engine):
+    """k > rerank_docs: docs past the reranked window keep their original
+    scores and order and follow the window (Solr ReRankQParser appends the
+    main query's remainder instead of dropping it)."""
+    got = _rows(engine.rerank(TERMS, PHRASE, k=20, rerank_docs=5,
+                              weight=10.0))
+    window = _expected(engine, 5, 5, 10.0)
+    tail = _rows(engine.search(TERMS, k=20))[5:]
+    assert got == window + tail and len(got) == 20
+
+
+def test_only_doc_ids_respects_k(engine):
+    """Direct phrase/span callers with only_doc_ids get ≤ k rows."""
+    ids = [r["doc_id"] for r in engine.search(TERMS, k=20).collect()]
+    assert engine.phrase_search(PHRASE, k=2, only_doc_ids=ids).count() <= 2
+    assert engine.span_near_search(PHRASE, slop=2, k=2,
+                                   only_doc_ids=ids).count() <= 2
