@@ -102,7 +102,8 @@ FROM st
 
 
 def pack_linear(df: DataFrame, id_col: str, text_col: str,
-                budget: int, order_col: str | None = None) -> DataFrame:
+                budget: int, order_col: str | None = None,
+                num_partitions: int = 32) -> DataFrame:
     """(id, n_tokens, bin_id, offset_in_bin): deterministic concat-and-cut
     packing (the "concatenate the corpus, cut every ``budget`` tokens"
     rule common in pretraining pipelines).
@@ -114,16 +115,47 @@ def pack_linear(df: DataFrame, id_col: str, text_col: str,
     prefix sum (no sequential scan, unlike greedy first-fit whose bin
     state depends on every prior cut).  A bin may therefore overflow by
     up to one doc's tail, which the training loader truncates or carries
-    over — the standard contract for this packing style.  One window over
-    the global order — at scale, range-partition + the two-phase prefix
-    sum (corpus.py:assign_doc_ids pattern)."""
+    over — the standard contract for this packing style.
+
+    The prefix sum is the TWO-PHASE distributed form (the
+    corpus.py:assign_doc_ids pattern): range-repartition on ``order`` →
+    per-partition token totals collected (one tiny row per partition) →
+    broadcast prefix offsets → partition-local cumulative sum.  No row
+    ever flows through a single-partition exchange, so the packing scales
+    with the cluster instead of serializing on one task."""
     if budget <= 0:
         raise ValueError("budget must be positive")
     order = order_col or id_col
     n_tok = F.size(tokens_column(text_col))
-    w = Window.orderBy(order)
-    d = df.select(F.col(id_col), n_tok.alias("n_tokens"))
-    d = d.withColumn("_cum", F.sum("n_tokens").over(w))
+    cols = [F.col(id_col), n_tok.alias("n_tokens")]
+    if order != id_col:
+        cols.append(F.col(order))
+    d = df.select(*cols)
+    # phase 1: range-partition by the packing order; each partition owns a
+    # contiguous slice of the stream
+    keyed = d.repartitionByRange(num_partitions, F.col(order))
+    part = keyed.withColumn("_pid", F.spark_partition_id())
+    totals = (
+        part.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("_tok"))
+        .orderBy("_pid")
+        .collect()
+    )
+    offsets, acc = [], 0
+    for row in totals:
+        offsets.append((int(row["_pid"]), acc))
+        acc += int(row["_tok"])
+    offsets_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            offsets or [(0, 0)], "_pid int, _offset long"
+        )
+    )
+    # phase 2: partition-local running sum + the broadcast global offset
+    wp = Window.partitionBy("_pid").orderBy(order)
+    d = (
+        part.join(offsets_df, "_pid")
+        .withColumn("_cum", F.sum("n_tokens").over(wp) + F.col("_offset"))
+    )
     # bin of a doc = how many full budgets precede its span start; a doc
     # whose span crosses a budget boundary belongs to the bin its END
     # lands in only if its start does too — the linear rule: bin_id =
