@@ -323,6 +323,100 @@ def _make_term_contrib_kernel(
     return kern
 
 
+def _make_dismax_scorer(
+    stored_terms: List[str],
+    bare_of: List[str],
+    idfs: List[float],
+    avgdls: List[float],
+    k: int,
+    k1: float,
+    b: float,
+    docs_per_shard: int,
+    tie: float,
+):
+    """Per-shard DisMax scoring kernel: the full DisjunctionMax reduction
+    runs INSIDE the shard (a doc's field-scoped postings for every field
+    all live in its one home shard by construction), so no per-posting row
+    ever crosses an exchange — only the ≤k partial rows per shard do.
+
+    Per bare query term: max/sum of its field-scoped BM25 contributions
+    per doc (dense shard-local scatter arrays, reused across groups), then
+    ``max + tie·(sum − max)`` accumulated into the doc score.  Determinism:
+    bare groups reduce in sorted-bare order, members in sorted-stored
+    order (float64 accumulation order is pinned, like _make_shard_scorer).
+    """
+    from archivesspace_virgo_spark import codec  # re-imported on workers
+
+    groups: dict = {}
+    for i, bare in enumerate(bare_of):
+        groups.setdefault(bare, []).append(i)
+    group_list = [
+        (bare, sorted(idx, key=lambda i: stored_terms[i]))
+        for bare, idx in sorted(groups.items())
+    ]
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        by_term = {
+            t: row
+            for t, row in zip(pdf["term"], pdf.itertuples(index=False))
+        }
+        if not by_term:
+            return empty
+        shard = int(pdf["doc_shard"].iloc[0])
+        base = shard * docs_per_shard
+        scores = np.zeros(docs_per_shard, dtype=np.float64)
+        seen = np.zeros(docs_per_shard, dtype=bool)
+        mx = np.zeros(docs_per_shard, dtype=np.float64)
+        sm = np.zeros(docs_per_shard, dtype=np.float64)
+        gseen = np.zeros(docs_per_shard, dtype=bool)
+        for _bare, idxs in group_list:
+            fresh = True
+            for i in idxs:
+                row = by_term.get(stored_terms[i])
+                if row is None:
+                    continue
+                if fresh:
+                    mx[:] = 0.0
+                    sm[:] = 0.0
+                    gseen[:] = False
+                    fresh = False
+                d, tfs, dls = codec.decode_postings(
+                    row.doc_blob, row.tf_blob, row.dl_blob
+                )
+                local = d.astype(np.int64) - base
+                tfs = tfs.astype(np.float64)
+                dls = dls.astype(np.float64)
+                contrib = idfs[i] * tfs / (
+                    tfs + k1 * (1.0 - b + b * dls / avgdls[i])
+                )
+                np.maximum.at(mx, local, contrib)
+                np.add.at(sm, local, contrib)
+                gseen[local] = True
+            if fresh:
+                continue  # no field of this bare term posts in this shard
+            hit = np.flatnonzero(gseen)
+            scores[hit] += mx[hit] + tie * (sm[hit] - mx[hit])
+            seen[hit] = True
+        cand = np.flatnonzero(seen)
+        if cand.size == 0:
+            return empty
+        final = scores[cand]
+        if cand.size > k:
+            top = np.argpartition(-final, k - 1)[:k]
+            thresh = final[top].min()
+            keep = final >= thresh  # boundary ties → doc_id tiebreak
+            cand, final = cand[keep], final[keep]
+        order = np.lexsort((cand, -final))[:k]
+        return pd.DataFrame({
+            "doc_id": (cand[order] + base).astype(np.int64),
+            "score": final[order],
+        })
+
+    return score
+
+
 class QueryEngine:
     """Reads a committed index; answers top-k / facet / range queries."""
 
@@ -560,19 +654,41 @@ class QueryEngine:
         within-group order is (score desc, doc_id), group order is the
         group's best (score desc, doc_id).
 
-        Cost shape: the scored match set shuffles once on ``group_field``
-        for the per-group window — the same work Lucene's two-pass grouping
-        collector does, distributed."""
+        Cost shape: TWO-PASS, like Lucene's grouping collector.  Pass 1 is
+        a partition-local partial top-``k_per_group`` per group
+        (mapInPandas over the joined match set — no exchange), so the
+        group-field shuffle feeding the global window carries
+        ≤ partitions × |groups| × k_per_group rows instead of the whole
+        match set.  Without it, a low-cardinality group field (e.g. a
+        5-value ``lang``) lands the ENTIRE scored match set on ≤5 tasks —
+        a skewed exchange that serializes at scale."""
         hits = self.score_matches(terms, mode=mode, exclude=exclude,
                                   filters=filters)
         dm = self.storage.read(self.spark, "doc_map").select(
             "doc_id", group_field
         )
+        joined = hits.join(dm, "doc_id")
+        kpg = int(k_per_group)
+
+        def partial_top(batches):
+            # per-Arrow-batch partial reduction: any row in the global
+            # per-group top-k is in its batch's per-group top-k under the
+            # same (score desc, doc_id asc) total order, so dropping the
+            # rest preserves the final result exactly
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf
+                    continue
+                pdf = pdf.sort_values(["score", "doc_id"],
+                                      ascending=[False, True])
+                yield pdf.groupby(group_field, sort=False).head(kpg)
+
+        reduced = joined.mapInPandas(partial_top, schema=joined.schema)
         w = Window.partitionBy(group_field).orderBy(
             F.desc("score"), F.asc("doc_id")
         )
         return (
-            hits.join(dm, "doc_id")
+            reduced
             .withColumn("rank_in_group", F.row_number().over(w))
             .filter(F.col("rank_in_group") <= k_per_group)
             .withColumn(
@@ -728,39 +844,40 @@ class QueryEngine:
         best field wins, others contribute ``tie``-scaled (tie=0 = pure
         max, tie=1 = plain sum across fields).
 
-        Cost shape: ONE kernel pass over the |terms|×|fields| scoped
-        posting rows per shard emits per-term contributions; the combine
-        repartitions the contribution rows ONCE on doc_id — that hash
-        partitioning satisfies both stacked groupBys ((doc_id, bare) then
-        (doc_id): clustering on a key subset co-locates the groups), so
-        the whole DisMax reduction is a single data shuffle + the ≤k
-        TakeOrdered merge (pinned in tests/test_dismax.py)."""
+        Cost shape: ZERO data shuffles.  A doc's field-scoped postings
+        for every field share its home shard by construction, so the
+        whole DisjunctionMax reduction (per-term max/sum across fields,
+        per-doc sum across terms, partial top-k) runs inside the same
+        per-shard kernel pass as ``search`` — only ≤k partial rows per
+        shard reach the TakeOrdered merge (pinned in
+        tests/test_dismax.py)."""
         fields = list(fields or self.config.fields)
         default = self.config.fields[0]
-        pairs = []  # (stored, bare)
-        for t in terms:
-            for f in fields:
-                stored = t if f == default else f"{f}:{t}"
-                pairs.append((stored, t))
-        contrib = self.term_scores([s for s, _b in pairs])
-        bare_map = F.broadcast(self.spark.createDataFrame(
-            sorted(set(pairs)), "term string, bare string"
-        ))
-        per_term = (
-            contrib.join(bare_map, "term")
-            .repartition(F.col("doc_id"))
-            .groupBy("doc_id", "bare")
-            .agg(F.max("contrib").alias("_mx"), F.sum("contrib").alias("_sm"))
-            .withColumn(
-                "term_score",
-                F.col("_mx") + F.lit(float(tie)) * (F.col("_sm") - F.col("_mx")),
-            )
+        pairs = sorted({
+            (t if f == default else f"{f}:{t}", t, f)
+            for t in terms for f in fields
+        })
+        stats = self.term_stats([s for s, _b, _f in pairs])
+        live = [(s, bare, f) for s, bare, f in pairs if s in stats]
+        if not live:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        stored_terms = [s for s, _b, _f in live]
+        bare_of = [bare for _s, bare, _f in live]
+        idfs = [lucene_idf(self.field_stats[f][0], stats[s][0])
+                for s, _b, f in live]
+        avgdls = [self.field_stats[f][1] for _s, _b, f in live]
+        postings = self._postings_df().filter(
+            F.col("term").isin(stored_terms)
+        ).select("doc_shard", "term", "doc_blob", "tf_blob", "dl_blob")
+        scorer = _make_dismax_scorer(
+            stored_terms, bare_of, idfs, avgdls, k + offset,
+            self.config.k1, self.config.b, self.config.docs_per_shard,
+            float(tie),
         )
-        ordered = (
-            per_term.groupBy("doc_id")
-            .agg(F.sum("term_score").alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+        partials = postings.groupBy("doc_shard").applyInPandas(
+            scorer, schema="doc_id long, score double"
         )
+        ordered = partials.orderBy(F.desc("score"), F.asc("doc_id"))
         if offset:
             ordered = ordered.offset(offset)
         return ordered.limit(k)

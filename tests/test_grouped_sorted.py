@@ -150,3 +150,19 @@ GROUP BY 1 ORDER BY 1
     assert got == exp and len(got) > 1
     with pytest.raises(ValueError):
         engine.facet_range(TERMS, start=0, end=400, gap=0)
+
+
+def test_grouped_search_is_two_pass(engine):
+    """Pass 1 (partition-local partial top-k per group, MapInPandas) must
+    run BELOW the group-field exchange, so the low-cardinality shuffle
+    carries ≤ partitions × groups × k rows, never the whole match set.
+    In the executedPlan tree, a parent prints before its children — the
+    group-key Exchange line must appear before the MapInPandas line."""
+    df = engine.grouped_search(TERMS, "lang", k_per_group=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    exch = [i for i, ln in enumerate(lines)
+            if "Exchange hashpartitioning" in ln and "lang" in ln]
+    mip = [i for i, ln in enumerate(lines) if "MapInPandas" in ln]
+    assert exch and mip, plan[:4000]
+    assert min(exch) < min(mip), plan[:4000]
