@@ -238,7 +238,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- dedup family ---
     def q_dedup_exact(spark, sf_dir):
-        return D.exact_duplicates(_docs(spark, sf_dir), "doc_id", "text")
+        # the fixture has no exact duplicates, so a bare run verifies only
+        # emptiness — union a re-keyed slice (doc_id+1000000) so real
+        # duplicate groups exist; the oracle applies the same union
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        dup = d.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        return D.exact_duplicates(d.unionByName(dup), "doc_id", "text")
     q["dedup_exact"] = q_dedup_exact
 
     def q_minhash(spark, sf_dir):
@@ -580,8 +587,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["semi_join_has_orders"] = q_semi
 
     def q_anti(spark, sf_dir):
+        # every fixture customer has ≥1 order, so the unfiltered anti-join
+        # is vacuously empty — anti-join against RECENT orders only
+        # (o_orderdate ≥ 2000-01-01) so some customers genuinely lack a
+        # matching order; the oracle applies the same cutoff
         c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        )
         return E.shadowed_anti_join(
             c.select(F.col("c_custkey")), o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
         )
@@ -879,7 +892,11 @@ SELECT doc_id,
 FROM documents
 """
 
-    o["dedup_exact"] = D.exact_duplicates_sql("documents", "doc_id", "text")
+    o["dedup_exact"] = D.exact_duplicates_sql(
+        "(SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50)",
+        "doc_id", "text",
+    )
 
     # multimodal: fake payload = utf-8(text), so byte fidelity through the
     # Arrow round-trip is checkable as sha256/octet_length of the text
@@ -1159,7 +1176,9 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
     o["anti_join_no_orders"] = """
 SELECT c_custkey FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
 """
     o["hierarchy_ancestors"] = """
 WITH RECURSIVE anc AS (
