@@ -98,7 +98,11 @@ def main(argv=None) -> int:
         elif name == "phrase":
             q.add_argument("--phrase", required=True)
             q.add_argument("--slop", type=int, default=0,
-                           help='proximity budget ("a b"~N, ordered)')
+                           help='proximity budget ("a b"~N, Solr '
+                                "PhraseQuery slop: transpositions allowed)")
+            q.add_argument("--ordered", action="store_true",
+                           help="use the stricter ordered SpanNear "
+                                "contract instead of PhraseQuery slop")
         elif name == "group":
             q.add_argument("--terms", required=True)
             q.add_argument("--field", required=True)
@@ -227,9 +231,12 @@ def main(argv=None) -> int:
         elif a.cmd == "search":
             _print_df(engine.query(a.q, k=a.k, offset=a.offset))
         elif a.cmd == "phrase":
-            if a.slop > 0:
+            if a.slop > 0 and a.ordered:
                 _print_df(engine.span_near_search(a.phrase, slop=a.slop,
                                                   k=a.k))
+            elif a.slop > 0:
+                _print_df(engine.sloppy_phrase_search(a.phrase, slop=a.slop,
+                                                      k=a.k))
             else:
                 _print_df(engine.phrase_search(a.phrase, k=a.k))
         elif a.cmd == "group":

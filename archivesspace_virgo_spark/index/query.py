@@ -784,14 +784,17 @@ class QueryEngine:
         k1, b = self.config.k1, self.config.b
         docs_per_shard = self.config.docs_per_shard
         params = dict(zip(live, zip(idfs, avgdls)))
-        id_set = set(ids)
         shards = sorted({d // docs_per_shard for d in ids})
 
         from archivesspace_virgo_spark import codec  # re-imported on workers
 
+        ids_arr = np.asarray(ids, dtype=np.int64)
+
         def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = {"doc_id": [], "term": [], "idf": [], "tf": [],
-                   "dl": [], "contrib": []}
+            # fully vectorized: one isin mask + one BM25 expression per
+            # term row, arrays concatenated at the end (no per-posting
+            # Python loop — debugQuery stays usable on wide windows)
+            docs, tags, idf_c, tf_c, dl_c, contrib_c = [], [], [], [], [], []
             for t, row in zip(pdf["term"], pdf.itertuples(index=False)):
                 if t not in params:
                     continue
@@ -799,25 +802,36 @@ class QueryEngine:
                 d, tfs, dls = codec.decode_postings(
                     row.doc_blob, row.tf_blob, row.dl_blob
                 )
-                mask = np.isin(d, np.fromiter(id_set, dtype=np.int64))
-                for di, tfi, dli in zip(d[mask], tfs[mask], dls[mask]):
-                    c = idf * float(tfi) / (
-                        float(tfi)
-                        + k1 * (1.0 - b + b * float(dli) / avgdl)
-                    )
-                    out["doc_id"].append(int(di))
-                    out["term"].append(t)
-                    out["idf"].append(idf)
-                    out["tf"].append(int(tfi))
-                    out["dl"].append(int(dli))
-                    out["contrib"].append(c)
-            return pd.DataFrame(out) if out["doc_id"] else pd.DataFrame({
-                "doc_id": pd.Series(dtype="int64"),
-                "term": pd.Series(dtype="object"),
-                "idf": pd.Series(dtype="float64"),
-                "tf": pd.Series(dtype="int64"),
-                "dl": pd.Series(dtype="int64"),
-                "contrib": pd.Series(dtype="float64"),
+                d = d.astype(np.int64)
+                mask = np.isin(d, ids_arr)
+                if not mask.any():
+                    continue
+                tm = tfs[mask].astype(np.float64)
+                lm = dls[mask].astype(np.float64)
+                docs.append(d[mask])
+                tags.append(np.full(int(mask.sum()), t, dtype=object))
+                idf_c.append(np.full(int(mask.sum()), idf))
+                tf_c.append(tfs[mask].astype(np.int64))
+                dl_c.append(dls[mask].astype(np.int64))
+                contrib_c.append(
+                    idf * tm / (tm + k1 * (1.0 - b + b * lm / avgdl))
+                )
+            if not docs:
+                return pd.DataFrame({
+                    "doc_id": pd.Series(dtype="int64"),
+                    "term": pd.Series(dtype="object"),
+                    "idf": pd.Series(dtype="float64"),
+                    "tf": pd.Series(dtype="int64"),
+                    "dl": pd.Series(dtype="int64"),
+                    "contrib": pd.Series(dtype="float64"),
+                })
+            return pd.DataFrame({
+                "doc_id": np.concatenate(docs),
+                "term": np.concatenate(tags),
+                "idf": np.concatenate(idf_c),
+                "tf": np.concatenate(tf_c),
+                "dl": np.concatenate(dl_c),
+                "contrib": np.concatenate(contrib_c),
             })
 
         postings = self._postings_df().filter(
@@ -1151,10 +1165,10 @@ class QueryEngine:
         pq = parse_query(q)
         if pq.phrase is not None:
             if pq.phrase_slop > 0:
-                # '"a b"~N' → ordered SpanNear (see span_near_search for
-                # the documented divergence from PhraseQuery transposition
-                # slop)
-                return self.span_near_search(
+                # '"a b"~N' → Lucene PhraseQuery slop (transpositions
+                # allowed — Solr parity); span_near_search remains the
+                # explicit ordered-proximity API
+                return self.sloppy_phrase_search(
                     pq.phrase, slop=pq.phrase_slop, k=k,
                     field=pq.phrase_field, offset=offset)
             return self.phrase_search(pq.phrase, k=k, field=pq.phrase_field,
@@ -1430,11 +1444,13 @@ class QueryEngine:
         ``phrase_search`` (every chain is adjacent, weight 1, sf = ptf).
 
         NOTE: Lucene's *PhraseQuery* slop additionally permits
-        transpositions (out-of-order terms within the edit budget); this
-        operator is the ordered SpanNearQuery contract — stricter, and the
-        one the greedy chain can evaluate fully vectorized (the same
-        combined ``doc·2^33 + position`` key trick as phrase_search, one
-        ``searchsorted`` per query term, no per-doc loop).
+        transpositions (out-of-order terms within the edit budget) — that
+        contract lives in ``sloppy_phrase_search``, which is what the
+        ``query('"a b"~N')`` string entry dispatches to (Solr parity).
+        This operator is the ordered SpanNearQuery contract — stricter,
+        and the one the greedy chain can evaluate fully vectorized (the
+        same combined ``doc·2^33 + position`` key trick as phrase_search,
+        one ``searchsorted`` per query term, no per-doc loop).
         """
         from archivesspace_virgo_spark.tokenizer import tokenize_text
 
@@ -1546,6 +1562,138 @@ class QueryEngine:
         if offset:
             ordered = ordered.offset(offset)
         # external contract is always ≤k rows (see phrase_search)
+        return ordered.limit(k)
+
+    # --- sloppy phrase (Lucene PhraseQuery slop — the Solr ``"a b"~N``
+    # semantics proper: transpositions allowed within the edit budget,
+    # unlike the stricter ordered span_near_search contract) ---
+    def sloppy_phrase_search(self, phrase, slop: int = 0, k: int = 10,
+                             field: Optional[str] = None,
+                             offset: int = 0) -> DataFrame:
+        """BM25 top-k under Lucene PhraseQuery slop semantics: terms may
+        occur OUT OF ORDER within the ``slop`` edit budget (transposing
+        two adjacent terms costs 2), per the SloppyPhraseMatcher greedy
+        algorithm in ``functions.proximity.lucene_sloppy_freq``; each
+        match weighs 1/(1+matchLength) into the sloppy frequency, which
+        replaces tf in the phrase BM25 form (idf_sum · sf / (sf + k1·norm),
+        same as span_near_search).  This is what ``query('"a b"~N')``
+        dispatches to (Solr parity); span_near_search stays the explicit
+        ordered-proximity API.
+
+        The kernel intersects the terms' shard-local doc sets vectorized,
+        then runs the per-doc greedy matcher over each candidate's (few)
+        occurrence positions — the same per-document cost Lucene pays in
+        its own SloppyPhraseMatcher; only ≤k partials leave each shard.
+
+        Phrases with REPEATING terms raise (Lucene's repeats machinery is
+        not implemented) rather than silently mis-scoring."""
+        from archivesspace_virgo_spark.tokenizer import tokenize_text
+
+        terms = tokenize_text(phrase) if isinstance(phrase, str) else list(phrase)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not terms:
+            return empty
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
+        if len(set(terms)) != len(terms):
+            raise ValueError(
+                "sloppy phrases with repeating terms are not supported "
+                "(Lucene's repeats handling is not implemented)")
+        if len(terms) == 1 or slop == 0:
+            # 1 term = TermQuery rewrite; slop 0 = exact PhraseQuery —
+            # both are phrase_search's contract already
+            return self.phrase_search(terms, k=k, field=field, offset=offset)
+        default = self.config.fields[0]
+        field = field or default
+        stored = [t if field == default else f"{field}:{t}" for t in terms]
+        uniq = sorted(set(stored))
+        stats = self.term_stats(uniq)
+        if len(stats) != len(uniq):
+            return empty  # a missing term empties a phrase query
+        n_docs_f, avgdl_f = self.field_stats[field]
+        idf_sum = float(
+            sum(lucene_idf(n_docs_f, stats[t][0]) for t in stored)
+        )
+        k1, b = self.config.k1, self.config.b
+        docs_per_shard = self.config.docs_per_shard
+        kk = k + offset
+
+        from archivesspace_virgo_spark import codec  # re-imported on workers
+        from archivesspace_virgo_spark.functions.proximity import (
+            lucene_sloppy_freq,
+        )
+
+        def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty_p = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                    "score": pd.Series(dtype="float64")})
+            by_term = {
+                t: row
+                for t, row in zip(pdf["term"], pdf.itertuples(index=False))
+            }
+            if any(t not in by_term for t in uniq):
+                return empty_p
+            shard = int(pdf["doc_shard"].iloc[0])
+            base = shard * docs_per_shard
+            dec = {}
+            for t in uniq:
+                row = by_term[t]
+                d, tf_, dl_ = codec.decode_postings(
+                    row.doc_blob, row.tf_blob, row.dl_blob
+                )
+                pos = codec.decode_positions(row.pos_blob, tf_)
+                ldoc = d.astype(np.int64) - base
+                # occurrence run boundaries for O(1) per-doc slicing
+                starts = np.zeros(ldoc.size + 1, dtype=np.int64)
+                starts[1:] = np.cumsum(tf_.astype(np.int64))
+                dec[t] = (ldoc, dl_, pos, starts)
+            cand = dec[uniq[0]][0]
+            for t in uniq[1:]:
+                cand = np.intersect1d(cand, dec[t][0], assume_unique=True)
+                if cand.size == 0:
+                    return empty_p
+            hits, sfs = [], []
+            for d_local in cand:
+                adjusted = []
+                for i, t in enumerate(stored):
+                    ldoc, _dl, pos, starts = dec[t]
+                    j = int(np.searchsorted(ldoc, d_local))
+                    p = pos[starts[j]:starts[j + 1]].astype(np.int64) - i
+                    adjusted.append(p)
+                sf = lucene_sloppy_freq(adjusted, slop)
+                if sf > 0.0:
+                    hits.append(int(d_local))
+                    sfs.append(sf)
+            if not hits:
+                return empty_p
+            hit = np.asarray(hits, dtype=np.int64)
+            sf_arr = np.asarray(sfs, dtype=np.float64)
+            ldoc0, dl0, _p0, _s0 = dec[stored[0]]
+            dls = dl0[np.searchsorted(ldoc0, hit)].astype(np.float64)
+            score = idf_sum * sf_arr / (
+                sf_arr + k1 * (1.0 - b + b * dls / avgdl_f)
+            )
+            if hit.size > kk:
+                top = np.argpartition(-score, kk - 1)[:kk]
+                thresh = score[top].min()
+                keep = score >= thresh
+                hit, score = hit[keep], score[keep]
+            order = np.lexsort((hit, -score))[:kk]
+            return pd.DataFrame({
+                "doc_id": (hit[order] + base).astype(np.int64),
+                "score": score[order],
+            })
+
+        postings = self._postings_df().filter(
+            F.col("term").isin(uniq)
+        ).select(
+            "doc_shard", "term", "doc_blob", "tf_blob", "dl_blob", "pos_blob"
+        )
+        partials = postings.groupBy("doc_shard").applyInPandas(
+            scorer, schema="doc_id long, score double"
+        )
+        ordered = partials.orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            ordered = ordered.offset(offset)
         return ordered.limit(k)
 
     # --- Solr ReRankQParser (rq={!rerank reRankQuery=... reRankDocs=N

@@ -62,6 +62,8 @@ EXTRA_SUITE = [
         ["table"], k=K, filters=[["join", "merge"]])),
     ("x_span2", lambda e: e.span_near_search(
         ["value", "table"], slop=2, k=K)),
+    ("x_sloppy2", lambda e: e.sloppy_phrase_search(
+        ["value", "table"], slop=2, k=K)),
     ("x_grouped", lambda e: e.grouped_search("table join".split(), "lang",
                                              k_per_group=3)),
     ("x_sorted", lambda e: e.sorted_search(["table"], "path", k=K)),

@@ -104,8 +104,10 @@ def test_wider_slop_is_superset(built):
 
 def test_query_string_dispatch_and_guards(built):
     engine, _docs = built
+    # '"…"~N' dispatches to PhraseQuery slop (Solr semantics — see
+    # test_sloppy_phrase.py); span_near_search is the explicit ordered API
     assert _rows(engine.query('"slow stream"~2', k=10)) == \
-        _rows(engine.span_near_search("slow stream", slop=2, k=10))
+        _rows(engine.sloppy_phrase_search("slow stream", slop=2, k=10))
     from archivesspace_virgo_spark.index.query_parser import parse_query
     pq = parse_query('"slow stream"~2')
     assert pq.phrase == "slow stream" and pq.phrase_slop == 2
