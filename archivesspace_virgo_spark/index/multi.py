@@ -5,10 +5,13 @@ query per shard and merge-sorting the per-shard top-k by score (the
 reference's Solr is single-core, but the select handler it programs
 against is the same one SolrCloud distributes; SolrHelper.java:39-80).
 Lucene/Solr's DEFAULT distributed scoring uses PER-SHARD corpus stats
-(idf from each shard's own df/N — ExactStatsCache is the opt-in global
-variant); this module implements that default contract exactly: each
-member index scores with its own statistics, and only the ≤k ranked rows
-per index are merged.
+(idf from each shard's own df/N); this module implements that default
+contract exactly — each member index scores with its own statistics, and
+only the ≤k ranked rows per index are merged — plus the opt-in
+ExactStatsCache variant (``search(exact_stats=True)``): merged df/N/avgdl
+are computed first (one bounded lexicon point-lookup per member) and every
+member scores under the global statistics, so ranks match a single merged
+index.
 
 At 100 TB this is the cross-collection layer: each member is itself a
 sharded index (doc_shard partitions inside), so a query fans out to
@@ -45,15 +48,49 @@ class MultiIndexEngine:
     def _tagged(self, label: str, df: DataFrame) -> DataFrame:
         return df.select(F.lit(label).alias("index_id"), "*")
 
+    def global_stats(self, terms: Sequence[str]) -> tuple:
+        """Merged corpus statistics across members (Solr ExactStatsCache):
+        per-term (Σ df, Σ cf), per-field (Σ n_docs, token-weighted avgdl).
+
+        Cost: one bounded lexicon point-lookup per member (|terms| tiny
+        rows each — the same exchange ExactStatsCache does per query) plus
+        the members' already-cached field stats; nothing distributed moves.
+        Per-member totals are recovered exactly (avgdl·n rounds to the
+        integer token count), so the merged avgdl equals the one a single
+        merged index would store."""
+        e0 = self.engines[0]
+        stored = sorted({s for _f, s in (e0._parse_term(t) for t in terms)})
+        term_df: dict = {}
+        for e in self.engines:
+            for t, (df_t, cf_t) in e.term_stats(stored).items():
+                d0, c0 = term_df.get(t, (0, 0))
+                term_df[t] = (d0 + df_t, c0 + cf_t)
+        totals: dict = {}
+        for e in self.engines:
+            for f, (n, avgdl) in e.field_stats.items():
+                n0, t0 = totals.get(f, (0, 0))
+                totals[f] = (n0 + n, t0 + int(round(avgdl * n)))
+        field_stats = {
+            f: (n, (tok / n) if n else 0.0) for f, (n, tok) in totals.items()
+        }
+        return term_df, field_stats
+
     def search(self, terms: Sequence[str], k: int = 10, mode: str = "or",
-               offset: int = 0, **kw) -> DataFrame:
+               offset: int = 0, exact_stats: bool = False, **kw) -> DataFrame:
         """(index_id, doc_id, score): global top-k across members.
 
         Each member returns its own top-(k+offset) under its own stats
         (Solr per-shard idf default); the merge is one ≤|members|·(k+offset)
-        row TakeOrdered."""
+        row TakeOrdered.
+
+        ``exact_stats=True`` is Solr's opt-in ExactStatsCache: per-term df
+        and per-field (N, avgdl) are merged across members first and every
+        member scores under those GLOBAL statistics, making ranks (and
+        scores) identical to a single merged index over the same docs."""
+        gs = self.global_stats(terms) if exact_stats else None
         parts = [
-            self._tagged(lab, e.search(terms, k=k + offset, mode=mode, **kw))
+            self._tagged(lab, e.search(terms, k=k + offset, mode=mode,
+                                       global_stats=gs, **kw))
             for lab, e in zip(self.labels, self.engines)
         ]
         u = reduce(DataFrame.unionByName, parts)

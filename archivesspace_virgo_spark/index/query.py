@@ -517,7 +517,8 @@ class QueryEngine:
                offset: int = 0, exclude: Sequence[str] = (),
                boosts: Optional[dict] = None,
                min_should_match: int = 1,
-               filters: Sequence[Sequence[str]] = ()) -> DataFrame:
+               filters: Sequence[Sequence[str]] = (),
+               global_stats: Optional[tuple] = None) -> DataFrame:
         """Returns DataFrame(doc_id long, score double), ordered, ≤ k rows.
 
         ``offset`` is Solr's cursor paging (``start=N&rows=k``,
@@ -548,10 +549,17 @@ class QueryEngine:
         clauses, each an OR of (usually field-scoped) terms a doc must
         match — e.g. ``[["lang:en", "lang:fr"]]`` — contributing nothing
         to the score.  Filter postings ride the same per-shard batch as
-        MUST_NOT: no extra shuffle, pruning stays exact."""
+        MUST_NOT: no extra shuffle, pruning stays exact.
+
+        ``global_stats`` is the ExactStatsCache hook (see
+        ``MultiIndexEngine.search(exact_stats=True)``): a
+        ``({term: (df, cf)}, {field: (n_docs, avgdl)})`` pair replacing
+        this index's own corpus statistics in the idf/norm computation —
+        local postings still decide which docs match, but every member of
+        a multi-index collection scores under the SAME merged stats."""
         partials = self._score_partials(
             terms, mode, k + offset, exclude, boosts, min_should_match,
-            filters,
+            filters, global_stats=global_stats,
         )
         if partials is None:
             return self.spark.createDataFrame([], "doc_id long, score double")
@@ -562,16 +570,26 @@ class QueryEngine:
 
     def _score_partials(self, terms, mode, kk, exclude, boosts,
                         min_should_match, filters,
-                        return_all: bool = False) -> Optional[DataFrame]:
+                        return_all: bool = False,
+                        global_stats: Optional[tuple] = None
+                        ) -> Optional[DataFrame]:
         """Shared setup for scored retrieval: stats → idfs → pruned postings
         scan → per-shard kernel.  Returns the unordered per-shard partials
         (top-kk rows each, or EVERY matching doc when ``return_all``), or
-        None when the query is statically empty."""
+        None when the query is statically empty.
+
+        ``global_stats`` (ExactStatsCache): LOCAL term presence still
+        decides which terms can match here, but df/N/avgdl in the idf and
+        norm come from the supplied merged statistics."""
         parsed = {self._parse_term(t) for t in terms}
         uniq = sorted(stored for _f, stored in parsed)
         fields = {stored: f for f, stored in parsed}
         stats = self.term_stats(uniq)
         live = [t for t in uniq if t in stats]
+        fstats = self.field_stats
+        if global_stats is not None:
+            g_terms, fstats = global_stats
+            stats = {t: g_terms[t] for t in live}
         if mode == "and" and len(live) != len(uniq):
             live = []  # an absent term empties an AND query
         if len(live) < max(1, min_should_match):
@@ -594,11 +612,11 @@ class QueryEngine:
             boost_of[stored] = float(w)
         # idf from the term's OWN field corpus (per-field N and avgdl)
         idfs = [
-            lucene_idf(self.field_stats[fields[t]][0], stats[t][0])
+            lucene_idf(fstats[fields[t]][0], stats[t][0])
             * boost_of.get(t, 1.0)
             for t in live
         ]
-        avgdls = [self.field_stats[fields[t]][1] for t in live]
+        avgdls = [fstats[fields[t]][1] for t in live]
 
         # project pos_blob (and cf) OUT before the Arrow hand-off: scoring
         # never reads positions, and shipping them would roughly double the

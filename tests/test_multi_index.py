@@ -76,3 +76,44 @@ def test_guards(engines):
         MultiIndexEngine([])
     with pytest.raises(ValueError):
         MultiIndexEngine(engines, labels=["only-one"])
+
+
+@pytest.fixture(scope="module")
+def merged_engine(spark, tmp_path_factory):
+    corpus = load_documents_as_corpus(spark, SF_SMOKE)
+    d = str(tmp_path_factory.mktemp("mi_full"))
+    build_index(spark, corpus, d, CFG)
+    return QueryEngine(spark, d, CFG)
+
+
+def test_exact_stats_matches_single_merged_index(engines, merged_engine):
+    """ExactStatsCache contract: with merged df/N/avgdl, member scoring is
+    identical to one index over the union of the docs — ranks AND scores."""
+    multi = MultiIndexEngine(engines, labels=["a", "b"])
+    got = [(r["doc_id"], round(r["score"], 6))
+           for r in multi.search(TERMS, k=10, exact_stats=True).collect()]
+    exp = [(r["doc_id"], round(r["score"], 6))
+           for r in merged_engine.search(TERMS, k=10).collect()]
+    assert got == exp and len(got) == 10
+    # default per-member stats genuinely diverge on this split (otherwise
+    # the exact-stats assertion above is vacuous)
+    dflt = [(r["doc_id"], round(r["score"], 6))
+            for r in multi.search(TERMS, k=10).collect()]
+    assert dflt != exp
+
+
+def test_exact_stats_and_mode_and_global_stats_values(engines, merged_engine):
+    multi = MultiIndexEngine(engines, labels=["a", "b"])
+    got = [(r["doc_id"], round(r["score"], 6))
+           for r in multi.search(TERMS, k=10, mode="and",
+                                 exact_stats=True).collect()]
+    exp = [(r["doc_id"], round(r["score"], 6))
+           for r in merged_engine.search(TERMS, k=10, mode="and").collect()]
+    assert got == exp
+    # the merged stats equal the single index's stored stats exactly
+    term_df, field_stats = multi.global_stats(TERMS)
+    single = merged_engine.term_stats(TERMS)
+    assert {t: v for t, v in term_df.items() if v[0] > 0} == single
+    for f, (n, avgdl) in field_stats.items():
+        n1, avgdl1 = merged_engine.field_stats[f]
+        assert n == n1 and abs(avgdl - avgdl1) < 1e-12
