@@ -672,36 +672,150 @@ class QueryEngine:
         within-group order is (score desc, doc_id), group order is the
         group's best (score desc, doc_id).
 
-        Cost shape: TWO-PASS, like Lucene's grouping collector.  Pass 1 is
-        a partition-local partial top-``k_per_group`` per group
-        (mapInPandas over the joined match set — no exchange), so the
-        group-field shuffle feeding the global window carries
-        ≤ partitions × |groups| × k_per_group rows instead of the whole
-        match set.  Without it, a low-cardinality group field (e.g. a
-        5-value ``lang``) lands the ENTIRE scored match set on ≤5 tasks —
-        a skewed exchange that serializes at scale."""
-        hits = self.score_matches(terms, mode=mode, exclude=exclude,
-                                  filters=filters)
-        dm = self.storage.read(self.spark, "doc_map").select(
-            "doc_id", group_field
-        )
-        joined = hits.join(dm, "doc_id")
+        Cost shape: TWO-PASS, like Lucene's per-segment grouping
+        collector.  Pass 1 COGROUPS the (term-pruned) postings with the
+        column-pruned doc_map on ``doc_shard`` and runs scoring + the
+        per-(group, shard) partial top-``k_per_group`` inside ONE kernel —
+        the full scored match set is never materialized, never crosses
+        Arrow twice, and never joins.  The group-field window then sees
+        ≤ shards × |groups| × k_per_group rows, so a low-cardinality group
+        field (a 5-value ``lang``) can no longer land the entire match set
+        on ≤5 tasks.  The doc_map side shuffles by doc_shard (2 columns);
+        at deployment scale doc_map is written in doc_id order, so
+        bucketing it by ``doc_id div docs_per_shard`` makes that exchange
+        a co-located read."""
+        parsed = {self._parse_term(t) for t in terms}
+        uniq = sorted(stored for _f, stored in parsed)
+        fieldmap = {stored: f for f, stored in parsed}
+        stats = self.term_stats(uniq)
+        live = [t for t in uniq if t in stats]
+        if mode == "and" and len(live) != len(uniq):
+            live = []
+        dm_full = self.storage.read(self.spark, "doc_map")
+        gtype = dm_full.schema[group_field].dataType.simpleString()
+        out_schema = (f"{group_field} {gtype}, doc_id long, score double")
+        if not live:
+            return self.spark.createDataFrame(
+                [], out_schema + ", rank_in_group int"
+            ).select(group_field, "rank_in_group", "doc_id", "score")
+        neg = sorted({stored for _f, stored in
+                      (self._parse_term(t) for t in exclude)})
+        fcl = [
+            sorted({stored for _f, stored in
+                    (self._parse_term(t) for t in cl)})
+            for cl in filters
+        ]
+        if any(not cl for cl in fcl):
+            return self.spark.createDataFrame(
+                [], out_schema + ", rank_in_group int"
+            ).select(group_field, "rank_in_group", "doc_id", "score")
+        flt_terms = sorted({t for cl in fcl for t in cl})
+        idfs = [lucene_idf(self.field_stats[fieldmap[t]][0], stats[t][0])
+                for t in live]
+        avgdls = [self.field_stats[fieldmap[t]][1] for t in live]
         kpg = int(k_per_group)
+        k1, b = self.config.k1, self.config.b
+        docs_per_shard = self.config.docs_per_shard
+        n_query_terms = len(live)
+        is_and = mode == "and"
+        fcl_k = fcl or None
 
-        def partial_top(batches):
-            # per-Arrow-batch partial reduction: any row in the global
-            # per-group top-k is in its batch's per-group top-k under the
-            # same (score desc, doc_id asc) total order, so dropping the
-            # rest preserves the final result exactly
-            for pdf in batches:
-                if len(pdf) == 0:
-                    yield pdf
-                    continue
-                pdf = pdf.sort_values(["score", "doc_id"],
-                                      ascending=[False, True])
-                yield pdf.groupby(group_field, sort=False).head(kpg)
+        from archivesspace_virgo_spark import codec  # re-imported on workers
 
-        reduced = joined.mapInPandas(partial_top, schema=joined.schema)
+        def kern(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+            empty_p = pd.DataFrame({
+                group_field: pd.Series(dtype=r[group_field].dtype
+                                       if len(r.columns) else "object"),
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            })
+            if len(l) == 0 or len(r) == 0:
+                return empty_p
+            by_term = {
+                t: row for t, row in zip(l["term"], l.itertuples(index=False))
+            }
+            shard = int(l["doc_shard"].iloc[0])
+            base = shard * docs_per_shard
+            excluded = None
+            if neg:
+                for t in neg:
+                    row = by_term.get(t)
+                    if row is None:
+                        continue
+                    d = codec.delta_decode(codec.varbyte_decode(row.doc_blob))
+                    if excluded is None:
+                        excluded = np.zeros(docs_per_shard, dtype=bool)
+                    excluded[d.astype(np.int64) - base] = True
+            if fcl_k:
+                for cl in fcl_k:
+                    clause_ok = np.zeros(docs_per_shard, dtype=bool)
+                    hit_any = False
+                    for t in cl:
+                        row = by_term.get(t)
+                        if row is None:
+                            continue
+                        hit_any = True
+                        d = codec.delta_decode(
+                            codec.varbyte_decode(row.doc_blob))
+                        clause_ok[d.astype(np.int64) - base] = True
+                    if not hit_any:
+                        return empty_p
+                    if excluded is None:
+                        excluded = np.zeros(docs_per_shard, dtype=bool)
+                    excluded |= ~clause_ok
+            present = [(i, t) for i, t in enumerate(live) if t in by_term]
+            if is_and and len(present) < n_query_terms:
+                return empty_p
+            if not present:
+                return empty_p
+            scores = np.zeros(docs_per_shard, dtype=np.float64)
+            seen = np.zeros(docs_per_shard, dtype=np.int32)
+            # no pruning (every match's exact score is needed), so the
+            # scatter can run directly in sorted-term order — the same
+            # deterministic float64 accumulation as the rescore path
+            for i, t in present:
+                row = by_term[t]
+                d, tfs, dls = codec.decode_postings(
+                    row.doc_blob, row.tf_blob, row.dl_blob
+                )
+                local = d.astype(np.int64) - base
+                tfs = tfs.astype(np.float64)
+                dls = dls.astype(np.float64)
+                if excluded is not None:
+                    keep = ~excluded[local]
+                    local, tfs, dls = local[keep], tfs[keep], dls[keep]
+                contrib = idfs[i] * tfs / (
+                    tfs + k1 * (1.0 - b + b * dls / avgdls[i])
+                )
+                np.add.at(scores, local, contrib)
+                np.add.at(seen, local, 1)
+            cand = np.flatnonzero(
+                seen >= (n_query_terms if is_and else 1)
+            )
+            if cand.size == 0:
+                return empty_p
+            gv = np.empty(docs_per_shard, dtype=object)
+            rloc = r["doc_id"].to_numpy().astype(np.int64) - base
+            gv[rloc] = r[group_field].to_numpy()
+            out = pd.DataFrame({
+                group_field: gv[cand],
+                "doc_id": (cand + base).astype(np.int64),
+                "score": scores[cand],
+            })
+            out = out.sort_values(["score", "doc_id"],
+                                  ascending=[False, True])
+            return out.groupby(group_field, sort=False).head(kpg)
+
+        postings = self._postings_df().filter(
+            F.col("term").isin(live + neg + flt_terms)
+        ).select("doc_shard", "term", "doc_blob", "tf_blob", "dl_blob")
+        dm = dm_full.select(
+            F.expr(f"doc_id div {docs_per_shard}").alias("doc_shard"),
+            "doc_id", group_field,
+        )
+        reduced = postings.groupby("doc_shard").cogroup(
+            dm.groupby("doc_shard")
+        ).applyInPandas(kern, schema=out_schema)
         w = Window.partitionBy(group_field).orderBy(
             F.desc("score"), F.asc("doc_id")
         )

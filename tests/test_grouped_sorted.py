@@ -153,16 +153,26 @@ GROUP BY 1 ORDER BY 1
 
 
 def test_grouped_search_is_two_pass(engine):
-    """Pass 1 (partition-local partial top-k per group, MapInPandas) must
-    run BELOW the group-field exchange, so the low-cardinality shuffle
-    carries ≤ partitions × groups × k rows, never the whole match set.
-    In the executedPlan tree, a parent prints before its children — the
-    group-key Exchange line must appear before the MapInPandas line."""
+    """Pass 1 (scoring + per-(group, shard) partial top-k inside ONE
+    cogrouped kernel) must run BELOW the group-field exchange, so the
+    low-cardinality shuffle carries ≤ shards × groups × k rows, never the
+    whole match set.  In the executedPlan tree a parent prints before its
+    children — the group-key Exchange must appear before the cogroup
+    kernel, and the only exchanges besides it are the two doc_shard
+    cogroup feeds (no full-match-set exchange exists at all)."""
     df = engine.grouped_search(TERMS, "lang", k_per_group=3)
     plan = df._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
     exch = [i for i, ln in enumerate(lines)
-            if "Exchange hashpartitioning" in ln and "lang" in ln]
-    mip = [i for i, ln in enumerate(lines) if "MapInPandas" in ln]
-    assert exch and mip, plan[:4000]
-    assert min(exch) < min(mip), plan[:4000]
+            if "Exchange hashpartitioning" in ln and "lang" in ln
+            and "doc_shard" not in ln]
+    cog = [i for i, ln in enumerate(lines)
+           if "FlatMapCoGroupsInPandas" in ln]
+    assert exch and cog, plan[:4000]
+    assert min(exch) < min(cog), plan[:4000]
+    other = [ln for i, ln in enumerate(lines)
+             if "Exchange" in ln and i not in exch
+             and "doc_shard" not in ln
+             # final presentation sort of the ≤ groups×k result rows
+             and "rangepartitioning" not in ln]
+    assert not other, plan[:4000]
