@@ -1701,7 +1701,9 @@ class QueryEngine:
     # unlike the stricter ordered span_near_search contract) ---
     def sloppy_phrase_search(self, phrase, slop: int = 0, k: int = 10,
                              field: Optional[str] = None,
-                             offset: int = 0) -> DataFrame:
+                             offset: int = 0,
+                             only_doc_ids: Optional[Sequence[int]] = None
+                             ) -> DataFrame:
         """BM25 top-k under Lucene PhraseQuery slop semantics: terms may
         occur OUT OF ORDER within the ``slop`` edit budget (transposing
         two adjacent terms costs 2), per the SloppyPhraseMatcher greedy
@@ -1731,10 +1733,13 @@ class QueryEngine:
             raise ValueError(
                 "sloppy phrases with repeating terms are not supported "
                 "(Lucene's repeats handling is not implemented)")
+        if only_doc_ids is not None and not len(only_doc_ids):
+            return empty
         if len(terms) == 1 or slop == 0:
             # 1 term = TermQuery rewrite; slop 0 = exact PhraseQuery —
             # both are phrase_search's contract already
-            return self.phrase_search(terms, k=k, field=field, offset=offset)
+            return self.phrase_search(terms, k=k, field=field, offset=offset,
+                                      only_doc_ids=only_doc_ids)
         default = self.config.fields[0]
         field = field or default
         stored = [t if field == default else f"{field}:{t}" for t in terms]
@@ -1748,6 +1753,8 @@ class QueryEngine:
         )
         k1, b = self.config.k1, self.config.b
         docs_per_shard = self.config.docs_per_shard
+        only_ids = (np.asarray(sorted(set(only_doc_ids)), dtype=np.int64)
+                    if only_doc_ids is not None else None)
         kk = k + offset
 
         from archivesspace_virgo_spark import codec  # re-imported on workers
@@ -1783,6 +1790,10 @@ class QueryEngine:
                 cand = np.intersect1d(cand, dec[t][0], assume_unique=True)
                 if cand.size == 0:
                     return empty_p
+            if only_ids is not None:
+                cand = cand[np.isin(cand + base, only_ids)]
+                if cand.size == 0:
+                    return empty_p
             hits, sfs = [], []
             for d_local in cand:
                 adjusted = []
@@ -1815,9 +1826,11 @@ class QueryEngine:
                 "score": score[order],
             })
 
-        postings = self._postings_df().filter(
-            F.col("term").isin(uniq)
-        ).select(
+        postings = self._postings_df().filter(F.col("term").isin(uniq))
+        if only_ids is not None:
+            shards = sorted({int(d) // docs_per_shard for d in only_ids})
+            postings = postings.filter(F.col("doc_shard").isin(shards))
+        postings = postings.select(
             "doc_shard", "term", "doc_blob", "tf_blob", "dl_blob", "pos_blob"
         )
         partials = postings.groupBy("doc_shard").applyInPandas(
@@ -1833,7 +1846,8 @@ class QueryEngine:
     # adding w x a second query's score ---
     def rerank(self, terms: Sequence[str], rerank_phrase, k: int = 10,
                rerank_docs: int = 50, weight: float = 2.0,
-               mode: str = "or", slop: int = 0) -> DataFrame:
+               mode: str = "or", slop: int = 0,
+               ordered: bool = True) -> DataFrame:
         """Solr's two-pass rerank contract: run the main query, take its
         top ``rerank_docs`` window, and reorder that window by
         ``main_score + weight · phrase_score`` (docs the rerank query
@@ -1852,9 +1866,14 @@ class QueryEngine:
             return self.spark.createDataFrame([], "doc_id long, score double")
         window, tail = hits[:rerank_docs], hits[rerank_docs:]
         ids = [d for d, _s in window]
-        if slop > 0:
+        if slop > 0 and ordered:
             second = self.span_near_search(rerank_phrase, slop=slop,
                                            k=len(ids), only_doc_ids=ids)
+        elif slop > 0:
+            # ordered=False: Solr-parity PhraseQuery slop as the rerank
+            # query (transpositions allowed), window-targeted the same way
+            second = self.sloppy_phrase_search(rerank_phrase, slop=slop,
+                                               k=len(ids), only_doc_ids=ids)
         else:
             second = self.phrase_search(rerank_phrase, k=len(ids),
                                         only_doc_ids=ids)

@@ -361,6 +361,7 @@ def ivf_train(
     vec_col: str = "embedding",
     seed: int = 42,
     dim: int | None = None,
+    sample_fraction: float | None = None,
 ) -> np.ndarray:
     """Lloyd's k-means coarse quantizer, Spark-native:
 
@@ -369,7 +370,22 @@ def ivf_train(
     - update: posexplode -> (list, dim) avg — the ONLY shuffle, and it moves
       k x dim aggregate rows, not vectors.  Per-iteration driver traffic is
       the k x dim centroid matrix.  Empty lists keep their centroid.
-    """
+
+    ``sample_fraction`` is the corpus-scale training path: k-means needs
+    only a representative sample, not every vector (FAISS trains IVF on
+    ~256 vectors per centroid), so at 100 TB pass e.g.
+    ``max(n_lists * 256 / n_vecs, 1e-6)`` and the n_iter scans + the
+    posexplode aggregate run over the (seeded, deterministic) sample
+    instead of the full corpus; assignment of the FULL corpus to the
+    trained centroids stays the map-side-only matmul in
+    ``write_ivf_embeddings``."""
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError("sample_fraction must be in (0, 1]")
+        if sample_fraction < 1.0:
+            embeddings = embeddings.sample(
+                fraction=sample_fraction, seed=seed
+            )
     if dim is None:
         head = embeddings.select(vec_col).head(1)
         if not head:

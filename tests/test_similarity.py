@@ -111,3 +111,30 @@ def test_ivf_full_probe_equals_exact(spark, emb, tmp_path):
         .queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "list_id" in m.group(1), plan[:2000]
+
+
+def test_ivf_sampled_training_path(spark, emb, tmp_path):
+    """Corpus-scale training: centroids trained on a seeded sample are
+    deterministic and still produce a working partitioned index (the full
+    corpus is assigned to the sampled-trained centroids; a full probe over
+    them equals exact search, independent of training-set size)."""
+    from archivesspace_virgo_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivf_train,
+        write_ivf_embeddings,
+    )
+
+    c1 = ivf_train(emb, n_lists=8, n_iter=2, sample_fraction=0.5)
+    c2 = ivf_train(emb, n_lists=8, n_iter=2, sample_fraction=0.5)
+    assert (c1 == c2).all()  # seeded sample → deterministic training
+    path = str(tmp_path / "ivf_sampled")
+    write_ivf_embeddings(emb, c1, path)
+    query = [0.1] * len(emb.select("embedding").head(1)[0][0])
+    full = ivf_topk(spark, path, c1, query, k=5, nprobe=8)
+    exact = cosine_topk(emb, query, k=5)
+    assert [(r["vec_id"], round(r["cos"], 9)) for r in full.collect()] == \
+        [(r["vec_id"], round(r["cos"], 9)) for r in exact.collect()]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ivf_train(emb, n_lists=8, sample_fraction=0.0)

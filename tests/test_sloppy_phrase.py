@@ -158,3 +158,37 @@ def test_paging_and_absent_terms(built):
                                               offset=5))
     assert page2 == _ref_topk(docs, ["slow", "stream"], 3, 10)[5:10]
     assert engine.sloppy_phrase_search("zzznope stream", slop=2).count() == 0
+
+
+def test_only_doc_ids_targeting(built):
+    """only_doc_ids (the rerank-window primitive) equals the unrestricted
+    result filtered to those ids, and honors k for external callers."""
+    engine, _docs = built
+    ids = [r["doc_id"] for r in
+           engine.search(["slow", "stream"], k=25).collect()]
+    target = dict(_rows(engine.sloppy_phrase_search(
+        "stream slow", slop=2, k=10 ** 6, only_doc_ids=ids)))
+    full = dict(_rows(engine.sloppy_phrase_search(
+        "stream slow", slop=2, k=10 ** 6)))
+    assert target == {d: s for d, s in full.items() if d in set(ids)}
+    assert engine.sloppy_phrase_search(
+        "stream slow", slop=2, k=2, only_doc_ids=ids).count() <= 2
+    assert engine.sloppy_phrase_search(
+        "stream slow", slop=2, only_doc_ids=[]).count() == 0
+
+
+def test_rerank_with_sloppy_second_pass(built):
+    """rerank(ordered=False) rescores the window by PhraseQuery-slop
+    semantics — pinned against a driver-side recombination."""
+    engine, _docs = built
+    terms = ["slow", "stream"]
+    window = [(r["doc_id"], r["score"])
+              for r in engine.search(terms, k=20).collect()]
+    ph = {r["doc_id"]: r["score"]
+          for r in engine.sloppy_phrase_search("stream slow", slop=2,
+                                               k=10 ** 6).collect()}
+    exp = sorted(((d, s + 5.0 * ph.get(d, 0.0)) for d, s in window),
+                 key=lambda ds: (-ds[1], ds[0]))[:10]
+    got = _rows(engine.rerank(terms, "stream slow", k=10, rerank_docs=20,
+                              weight=5.0, slop=2, ordered=False))
+    assert got == [(d, round(s, 6)) for d, s in exp]
