@@ -17,7 +17,7 @@ this engine.  Built for ``spark-submit --py-files pkg.zip -m`` or plain
             (--fields sets the index field config; --qf is the DisMax
             qf list)
     rerank  --index DIR --terms t1,t2 --phrase "p" [--weight W]
-            [--rerank-docs N] [--slop N]
+            [--rerank-docs N] [--slop N] [--ordered]
     explain --index DIR --terms t1,t2 --ids 3,17
     stats   --index DIR --terms t1,t2 [--field content]
     terms   --index DIR [--prefix s] [-n N] [--min-df N] [--index-order]
@@ -122,7 +122,12 @@ def main(argv=None) -> int:
             q.add_argument("--phrase", required=True)
             q.add_argument("--weight", type=float, default=2.0)
             q.add_argument("--rerank-docs", type=int, default=50)
-            q.add_argument("--slop", type=int, default=0)
+            q.add_argument("--slop", type=int, default=0,
+                           help="proximity budget for the rerank query "
+                                "(Solr PhraseQuery slop, like `phrase`)")
+            q.add_argument("--ordered", action="store_true",
+                           help="use the stricter ordered SpanNear "
+                                "contract for the rerank query")
         elif name == "explain":
             q.add_argument("--terms", required=True)
             q.add_argument("--ids", required=True,
@@ -253,9 +258,12 @@ def main(argv=None) -> int:
                 a.terms.split(","), fields=qf, tie=a.tie, k=a.k
             ))
         elif a.cmd == "rerank":
+            # CLI slop semantics match the `phrase` subcommand: Solr
+            # PhraseQuery slop by default, --ordered opts into SpanNear
             _print_df(engine.rerank(
                 a.terms.split(","), a.phrase, k=a.k,
                 rerank_docs=a.rerank_docs, weight=a.weight, slop=a.slop,
+                ordered=a.ordered,
             ))
         elif a.cmd == "explain":
             ids = [int(x) for x in a.ids.split(",") if x]

@@ -87,10 +87,14 @@ class MultiIndexEngine:
         and per-field (N, avgdl) are merged across members first and every
         member scores under those GLOBAL statistics, making ranks (and
         scores) identical to a single merged index over the same docs."""
-        gs = self.global_stats(terms) if exact_stats else None
+        # global_stats only travels when exact_stats is on: members are
+        # then required to accept it (leaf QueryEngines; a NESTED
+        # MultiIndexEngine member is only composable under the default
+        # per-member-stats contract, where no extra kwarg is injected)
+        if exact_stats:
+            kw = dict(kw, global_stats=self.global_stats(terms))
         parts = [
-            self._tagged(lab, e.search(terms, k=k + offset, mode=mode,
-                                       global_stats=gs, **kw))
+            self._tagged(lab, e.search(terms, k=k + offset, mode=mode, **kw))
             for lab, e in zip(self.labels, self.engines)
         ]
         u = reduce(DataFrame.unionByName, parts)

@@ -40,6 +40,42 @@ def lucene_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _excluded_mask(by_term, neg, filter_clauses, docs_per_shard, base,
+                   codec):
+    """Shard-local exclusion mask shared by every scoring kernel:
+    MUST_NOT postings mark docs excluded; each FILTER clause (Solr fq)
+    marks docs NOT matching any of its terms excluded.  Returns
+    (mask | None, impossible): ``impossible`` is True when a filter
+    clause has no postings in this shard at all (no doc can qualify)."""
+    excluded = None
+    if neg:
+        for t in neg:
+            row = by_term.get(t)
+            if row is None:
+                continue
+            d = codec.delta_decode(codec.varbyte_decode(row.doc_blob))
+            if excluded is None:
+                excluded = np.zeros(docs_per_shard, dtype=bool)
+            excluded[d.astype(np.int64) - base] = True
+    if filter_clauses:
+        for cl in filter_clauses:
+            clause_ok = np.zeros(docs_per_shard, dtype=bool)
+            hit = False
+            for t in cl:
+                row = by_term.get(t)
+                if row is None:
+                    continue
+                hit = True
+                d = codec.delta_decode(codec.varbyte_decode(row.doc_blob))
+                clause_ok[d.astype(np.int64) - base] = True
+            if not hit:
+                return None, True  # no clause term posts in this shard
+            if excluded is None:
+                excluded = np.zeros(docs_per_shard, dtype=bool)
+            excluded |= ~clause_ok
+    return excluded, False
+
+
 def _make_shard_scorer(
     terms: List[str],
     idfs: List[float],
@@ -127,38 +163,17 @@ def _make_shard_scorer(
             return empty
         shard = int(postings_pdf["doc_shard"].iloc[0])
         base = shard * docs_per_shard
-        # MUST_NOT exclusion (Lucene BooleanClause / Solr ``-term``):
-        # decode the excluded terms' doc ids into a shard-local mask and
-        # strip them from every positive term's postings BEFORE scoring —
-        # excluded docs never contribute, never enter the candidate set,
-        # and never inflate the pruning threshold, so MaxScore/WAND
-        # pruning stays exact.  Entirely shard-local: no extra shuffle.
-        excluded = None
-        if neg_set:
-            for t in neg_set:
-                row = by_term.get(t)
-                if row is None:
-                    continue
-                d = codec.delta_decode(codec.varbyte_decode(row.doc_blob))
-                if excluded is None:
-                    excluded = np.zeros(docs_per_shard, dtype=bool)
-                excluded[d.astype(np.int64) - base] = True
-        if filter_clauses:
-            for cl in filter_clauses:
-                clause_ok = np.zeros(docs_per_shard, dtype=bool)
-                hit = False
-                for t in cl:
-                    row = by_term.get(t)
-                    if row is None:
-                        continue
-                    hit = True
-                    d = codec.delta_decode(codec.varbyte_decode(row.doc_blob))
-                    clause_ok[d.astype(np.int64) - base] = True
-                if not hit:
-                    return empty  # no clause term posts in this shard
-                if excluded is None:
-                    excluded = np.zeros(docs_per_shard, dtype=bool)
-                excluded |= ~clause_ok
+        # MUST_NOT exclusion (Lucene BooleanClause / Solr ``-term``) and
+        # FILTER clauses (fq): one shard-local mask stripped from every
+        # positive term's postings BEFORE scoring — excluded docs never
+        # contribute, never enter the candidate set, and never inflate the
+        # pruning threshold, so MaxScore/WAND pruning stays exact.
+        # Entirely shard-local: no extra shuffle.
+        excluded, impossible = _excluded_mask(
+            by_term, neg_set, filter_clauses, docs_per_shard, base, codec
+        )
+        if impossible:
+            return empty
         present = [(i, terms[i]) for i in range(len(terms)) if terms[i] in by_term]
         if mode == "and" and len(present) < n_query_terms:
             return empty
@@ -736,33 +751,11 @@ class QueryEngine:
             }
             shard = int(l["doc_shard"].iloc[0])
             base = shard * docs_per_shard
-            excluded = None
-            if neg:
-                for t in neg:
-                    row = by_term.get(t)
-                    if row is None:
-                        continue
-                    d = codec.delta_decode(codec.varbyte_decode(row.doc_blob))
-                    if excluded is None:
-                        excluded = np.zeros(docs_per_shard, dtype=bool)
-                    excluded[d.astype(np.int64) - base] = True
-            if fcl_k:
-                for cl in fcl_k:
-                    clause_ok = np.zeros(docs_per_shard, dtype=bool)
-                    hit_any = False
-                    for t in cl:
-                        row = by_term.get(t)
-                        if row is None:
-                            continue
-                        hit_any = True
-                        d = codec.delta_decode(
-                            codec.varbyte_decode(row.doc_blob))
-                        clause_ok[d.astype(np.int64) - base] = True
-                    if not hit_any:
-                        return empty_p
-                    if excluded is None:
-                        excluded = np.zeros(docs_per_shard, dtype=bool)
-                    excluded |= ~clause_ok
+            excluded, impossible = _excluded_mask(
+                by_term, neg, fcl_k, docs_per_shard, base, codec
+            )
+            if impossible:
+                return empty_p
             present = [(i, t) for i, t in enumerate(live) if t in by_term]
             if is_and and len(present) < n_query_terms:
                 return empty_p
@@ -804,7 +797,11 @@ class QueryEngine:
             })
             out = out.sort_values(["score", "doc_id"],
                                   ascending=[False, True])
-            return out.groupby(group_field, sort=False).head(kpg)
+            # dropna=False: docs with a NULL group value form their own
+            # group (Solr grouping returns a null group; pandas groupby
+            # silently drops null keys by default)
+            return out.groupby(group_field, sort=False,
+                               dropna=False).head(kpg)
 
         postings = self._postings_df().filter(
             F.col("term").isin(live + neg + flt_terms)
@@ -1053,7 +1050,8 @@ class QueryEngine:
         if not clauses:
             # pure-SHOULD query: identical to a flat scoring OR
             return self.search(list(optional_terms), k=k, offset=offset,
-                               exclude=exclude, boosts=boosts)
+                               exclude=exclude, boosts=boosts,
+                               filters=filters)
         term_cl: dict = {}
         fields: dict = {}
         opt_count: dict = {}
@@ -1299,7 +1297,19 @@ class QueryEngine:
             if pq.phrase_slop > 0:
                 # '"a b"~N' → Lucene PhraseQuery slop (transpositions
                 # allowed — Solr parity); span_near_search remains the
-                # explicit ordered-proximity API
+                # explicit ordered-proximity API.  Phrases with REPEATING
+                # terms fall back to the ordered SpanNear contract
+                # (sloppy_phrase_search rejects repeats — Lucene's
+                # repeats machinery is not implemented; divergence:
+                # ordered-only matching for e.g. '"time to time"~2')
+                from archivesspace_virgo_spark.tokenizer import (
+                    tokenize_text,
+                )
+                toks = tokenize_text(pq.phrase)
+                if len(set(toks)) != len(toks):
+                    return self.span_near_search(
+                        pq.phrase, slop=pq.phrase_slop, k=k,
+                        field=pq.phrase_field, offset=offset)
                 return self.sloppy_phrase_search(
                     pq.phrase, slop=pq.phrase_slop, k=k,
                     field=pq.phrase_field, offset=offset)

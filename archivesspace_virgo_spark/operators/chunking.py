@@ -122,7 +122,16 @@ def pack_linear(df: DataFrame, id_col: str, text_col: str,
     per-partition token totals collected (one tiny row per partition) →
     broadcast prefix offsets → partition-local cumulative sum.  No row
     ever flows through a single-partition exchange, so the packing scales
-    with the cluster instead of serializing on one task."""
+    with the cluster instead of serializing on one task.
+
+    Determinism contract (same as corpus.py:assign_doc_ids, which has
+    held digest-stable at every parallelism level): the two phases are
+    separate jobs over the same range partitioning, so ``df`` must be
+    DETERMINISTIC (a table/parquet scan or pure transformations of one).
+    Pipe nondeterministic sources (``.sample()`` without a seed, unstable
+    upstream shuffles) through a materialization (write, or
+    ``localCheckpoint``) first — otherwise the offsets collected in phase
+    1 can describe a different partitioning than phase 2 recomputes."""
     if budget <= 0:
         raise ValueError("budget must be positive")
     order = order_col or id_col

@@ -128,3 +128,15 @@ def test_mm_match_ids_and_count(engine, con):
     ids = {r["doc_id"] for r in
            engine.match_ids(terms, min_should_match=2).collect()}
     assert len(ids) == n
+
+
+def test_pure_should_path_keeps_filters(engine):
+    """boolean_search with no MUST clauses (the '+'-less degenerate) must
+    still honor fq filters on its flat-OR fast path."""
+    flt = [["value", "data"]]
+    got = [(r["doc_id"], round(r["score"], 6)) for r in
+           engine.boolean_search([], optional_terms=["table"],
+                                 filters=flt).collect()]
+    exp = [(r["doc_id"], round(r["score"], 6)) for r in
+           engine.search(["table"], filters=flt).collect()]
+    assert got == exp and got

@@ -176,3 +176,33 @@ def test_grouped_search_is_two_pass(engine):
              # final presentation sort of the ≤ groups×k result rows
              and "rangepartitioning" not in ln]
     assert not other, plan[:4000]
+
+
+def test_grouped_search_keeps_null_group(spark, tmp_path):
+    """Docs whose group-field value is NULL form their own group (Solr
+    grouping returns a null group) — pandas groupby's default null-key
+    drop must not silently delete them from the result."""
+    from pyspark.sql import functions as F
+
+    from archivesspace_virgo_spark.corpus import load_documents_as_corpus
+
+    corpus = (
+        load_documents_as_corpus(spark, SF_SMOKE)
+        .filter(F.col("doc_id") < 120)
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+                F.col("lang")
+            ),
+        )
+    )
+    d = str(tmp_path / "nullgrp")
+    build_index(spark, corpus, d, CFG)
+    e = QueryEngine(spark, d, CFG)
+    rows = e.grouped_search(["table"], "lang", k_per_group=2).collect()
+    match_ids = {r["doc_id"] for r in e.match_ids(["table"]).collect()}
+    null_matches = sorted(x for x in match_ids if x % 3 == 0)
+    assert null_matches, "fixture must have null-lang matches"
+    null_rows = [r for r in rows if r["lang"] is None]
+    assert null_rows and len(null_rows) <= 2
+    assert all(r["doc_id"] % 3 == 0 for r in null_rows)

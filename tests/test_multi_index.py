@@ -117,3 +117,15 @@ def test_exact_stats_and_mode_and_global_stats_values(engines, merged_engine):
     for f, (n, avgdl) in field_stats.items():
         n1, avgdl1 = merged_engine.field_stats[f]
         assert n == n1 and abs(avgdl - avgdl1) < 1e-12
+
+
+def test_nested_multi_index_default_path(engines):
+    """A MultiIndexEngine can itself be a member under the default
+    per-member-stats contract (no stray global_stats kwarg injected)."""
+    inner = MultiIndexEngine(engines, labels=["a", "b"])
+    outer = MultiIndexEngine([inner], labels=["inner"])
+    got = [(r["doc_id"], round(r["score"], 6))
+           for r in outer.search(TERMS, k=10).collect()]
+    exp = [(r["doc_id"], round(r["score"], 6))
+           for r in inner.search(TERMS, k=10).collect()]
+    assert got == exp and got

@@ -192,3 +192,15 @@ def test_rerank_with_sloppy_second_pass(built):
     got = _rows(engine.rerank(terms, "stream slow", k=10, rerank_docs=20,
                               weight=5.0, slop=2, ordered=False))
     assert got == [(d, round(s, 6)) for d, s in exp]
+
+
+def test_query_repeated_term_phrase_falls_back_to_span(built):
+    """'"a b a"~N' through the string entry must not raise: repeated-term
+    sloppy phrases fall back to the ordered SpanNear contract (documented
+    divergence) instead of erroring like the explicit API."""
+    engine, _docs = built
+    df = engine.query('"slow stream slow"~4', k=10)
+    exp = engine.span_near_search("slow stream slow", slop=4, k=10)
+    assert _rows(df) == _rows(exp)
+    with pytest.raises(ValueError):
+        engine.sloppy_phrase_search("slow stream slow", slop=4)
