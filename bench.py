@@ -336,6 +336,7 @@ def main():
         "build_sec_runs": main_run.get("build_sec_runs", []),
         "extra_queries": main_run.get("extra_queries", {}),
         "query_p95_sec": round(main_run.get("query_p95_sec", 0.0), 4),
+        "query_p95_raw_sec": main_run.get("query_p95_raw_sec", 0.0),
         "query_cold_p95_sec": round(main_run.get("query_cold_p95_sec", 0.0), 4),
         "query_cold_first_sec": round(main_run.get("query_cold_first_sec", 0.0), 4),
         **extra,
