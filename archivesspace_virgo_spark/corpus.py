@@ -32,29 +32,107 @@ def with_content_sha(df: DataFrame) -> DataFrame:
     return df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
 
 
+def range_bucket_column(df: DataFrame, keys, num_partitions: int,
+                        seed: int = 42, sample_per_bucket: int = 64):
+    """Deterministic range-bucket id for the two-phase prefix-sum pattern.
+
+    Samples the key columns ONCE (one bounded collect of ~64 keys per
+    bucket), picks ``num_partitions − 1`` boundary tuples driver-side, and
+    returns ``(bucket_col, n_buckets)`` where ``bucket_col`` assigns each
+    row its bucket via a binary-search tree of struct comparisons —
+    O(log P) comparisons per row, evaluated JVM-side.
+
+    Why not ``repartitionByRange`` twice: Spark re-seeds the range
+    boundary sampling per physical plan (the sampler seed derives from the
+    RDD id), so the offsets job and the window job of a two-phase prefix
+    sum can partition a DETERMINISTIC input differently at real scale —
+    small inputs are fully sampled, so tests never catch it.  Boundaries
+    collected once and baked into a pure expression make both phases agree
+    by construction, and rows with equal keys always land in one bucket
+    (a literal ``k < boundary`` comparison is consistent, where two range
+    exchanges need not be).
+
+    The bucket id is monotone in the key tuple (struct ordering is
+    lexicographic, null fields first — matching ``orderBy`` asc defaults),
+    so downstream ``Window.partitionBy(bucket).orderBy(*keys)`` plus the
+    broadcast per-bucket offsets reproduce the exact global total order no
+    matter how the sample fell.  Skew caveat: a single key value that
+    dominates the distribution lands in one bucket, exactly as it would in
+    one range partition.
+    """
+    if num_partitions <= 1:
+        return F.lit(0), 1
+    n = df.count()
+    if n == 0:
+        return F.lit(0), 1
+    target = num_partitions * sample_per_bucket
+    fraction = min(1.0, float(target) / float(n))
+    sample_df = df.select(*keys)
+    if fraction < 1.0:
+        sample_df = sample_df.where(F.rand(seed) < fraction)
+    vals = sorted(
+        {tuple(r) for r in sample_df.collect()
+         if all(v is not None for v in r)}
+    )
+    if not vals:
+        return F.lit(0), 1
+    step = len(vals) / float(num_partitions)
+    bounds = sorted({vals[int(i * step)] for i in range(1, num_partitions)
+                     if 0 < int(i * step) < len(vals)})
+    if not bounds:
+        return F.lit(0), 1
+    k = (F.col(keys[0]) if len(keys) == 1
+         else F.struct(*[F.col(c) for c in keys]))
+
+    def lit_key(b):
+        if len(keys) == 1:
+            return F.lit(b[0])
+        return F.struct(*[F.lit(v).alias(c) for v, c in zip(b, keys)])
+
+    def build(lo: int, hi: int):
+        # buckets lo..hi, separated by bounds[lo..hi-1]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2
+        return (F.when(k < lit_key(bounds[mid - 1]), build(lo, mid - 1))
+                .otherwise(build(mid, hi)))
+
+    return build(0, len(bounds)), len(bounds) + 1
+
+
+def prefix_sum_offsets(spark: SparkSession, counts: dict, n_buckets: int):
+    """Broadcastable (bucket, exclusive-prefix-offset) df from per-bucket
+    totals — the tiny phase-1 → phase-2 hand-off of the two-phase scheme."""
+    offsets, acc = [], 0
+    for p in range(n_buckets):
+        offsets.append((p, acc))
+        acc += int(counts.get(p, 0))
+    return F.broadcast(
+        spark.createDataFrame(offsets, "_pid int, _offset long")
+    )
+
+
 def assign_doc_ids(df: DataFrame, num_partitions: int = 32, base: int = 0) -> DataFrame:
     """Deterministic dense doc_id from the total order on (repo, path, commit).
 
     Two-phase prefix-sum: scales to 10^12 rows because no single task ever
-    sees more than one range-partition, and the driver only collects one
-    count per partition.  ``base`` offsets the whole sequence (incremental
-    appends allocate above the stored max id).
+    sees more than one range-bucket, and the driver only collects one
+    count per bucket.  Buckets come from ``range_bucket_column`` —
+    boundaries sampled ONCE and baked into a deterministic expression, so
+    the counts job and the window job agree by construction (two
+    ``repartitionByRange`` executions need not: their boundary sampling is
+    re-seeded per plan).  The resulting ids are independent of the
+    boundaries entirely — doc_id is the rank in the total key order, and
+    the bucket id is monotone in the key.  ``base`` offsets the whole
+    sequence (incremental appends allocate above the stored max id).
     """
-    keyed = df.repartitionByRange(num_partitions, *KEY_COLUMNS)
-    keyed = keyed.sortWithinPartitions(*KEY_COLUMNS)
-    part = keyed.withColumn("_pid", F.spark_partition_id())
-    counts = part.groupBy("_pid").count().orderBy("_pid").collect()
-    offsets = {}
-    acc = 0
-    for row in counts:
-        offsets[row["_pid"]] = acc
-        acc += row["count"]
-    spark = df.sparkSession
-    offsets_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
-        )
-    )
+    pid_col, n_buckets = range_bucket_column(df, KEY_COLUMNS, num_partitions)
+    part = df.withColumn("_pid", pid_col)
+    counts = {
+        int(r["_pid"]): int(r["count"])
+        for r in part.groupBy("_pid").count().collect()
+    }
+    offsets_df = prefix_sum_offsets(df.sparkSession, counts, n_buckets)
     w = Window.partitionBy("_pid").orderBy(*KEY_COLUMNS)
     out = (
         part.join(offsets_df, "_pid")

@@ -1298,18 +1298,9 @@ class QueryEngine:
                 # '"a b"~N' → Lucene PhraseQuery slop (transpositions
                 # allowed — Solr parity); span_near_search remains the
                 # explicit ordered-proximity API.  Phrases with REPEATING
-                # terms fall back to the ordered SpanNear contract
-                # (sloppy_phrase_search rejects repeats — Lucene's
-                # repeats machinery is not implemented; divergence:
-                # ordered-only matching for e.g. '"time to time"~2')
-                from archivesspace_virgo_spark.tokenizer import (
-                    tokenize_text,
-                )
-                toks = tokenize_text(pq.phrase)
-                if len(set(toks)) != len(toks):
-                    return self.span_near_search(
-                        pq.phrase, slop=pq.phrase_slop, k=k,
-                        field=pq.phrase_field, offset=offset)
+                # terms (e.g. '"time to time"~2') take the same path —
+                # sloppy_phrase_search runs Lucene's SloppyPhraseMatcher
+                # repeats machinery for them.
                 return self.sloppy_phrase_search(
                     pq.phrase, slop=pq.phrase_slop, k=k,
                     field=pq.phrase_field, offset=offset)
@@ -1725,12 +1716,20 @@ class QueryEngine:
         ordered-proximity API.
 
         The kernel intersects the terms' shard-local doc sets vectorized,
-        then runs the per-doc greedy matcher over each candidate's (few)
-        occurrence positions — the same per-document cost Lucene pays in
-        its own SloppyPhraseMatcher; only ≤k partials leave each shard.
+        then runs the LOCKSTEP-BATCH greedy matcher
+        (``proximity.lucene_sloppy_freq_batch``) over every candidate at
+        once — flattened numpy position arrays, one matcher step per
+        iteration for all still-active docs, property-pinned equal to the
+        scalar matcher — so a sloppy phrase of two HOT terms (candidate
+        set ≈ docs_per_shard) costs O(occurrences) numpy element-ops, not
+        a per-doc Python loop; only ≤k partials leave each shard.
 
-        Phrases with REPEATING terms raise (Lucene's repeats machinery is
-        not implemented) rather than silently mis-scoring."""
+        Phrases with REPEATING terms run Lucene's SloppyPhraseMatcher
+        repeats machinery (``proximity.lucene_sloppy_freq_repeats``:
+        repeat groups, collision advance, re-queue dance) per candidate —
+        the scalar path, acceptable because repeated-term phrases have
+        candidate sets bounded by the rarest term and are a rare query
+        shape; the hot path stays vectorized."""
         from archivesspace_virgo_spark.tokenizer import tokenize_text
 
         terms = tokenize_text(phrase) if isinstance(phrase, str) else list(phrase)
@@ -1739,10 +1738,6 @@ class QueryEngine:
             return empty
         if slop < 0:
             raise ValueError("slop must be >= 0")
-        if len(set(terms)) != len(terms):
-            raise ValueError(
-                "sloppy phrases with repeating terms are not supported "
-                "(Lucene's repeats handling is not implemented)")
         if only_doc_ids is not None and not len(only_doc_ids):
             return empty
         if len(terms) == 1 or slop == 0:
@@ -1767,9 +1762,11 @@ class QueryEngine:
                     if only_doc_ids is not None else None)
         kk = k + offset
 
+        has_repeats = len(set(stored)) != len(stored)
+
         from archivesspace_virgo_spark import codec  # re-imported on workers
         from archivesspace_virgo_spark.functions.proximity import (
-            lucene_sloppy_freq,
+            lucene_sloppy_freq_batch, lucene_sloppy_freq_repeats,
         )
 
         def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1804,22 +1801,38 @@ class QueryEngine:
                 cand = cand[np.isin(cand + base, only_ids)]
                 if cand.size == 0:
                     return empty_p
-            hits, sfs = [], []
-            for d_local in cand:
-                adjusted = []
-                for i, t in enumerate(stored):
-                    ldoc, _dl, pos, starts = dec[t]
-                    j = int(np.searchsorted(ldoc, d_local))
-                    p = pos[starts[j]:starts[j + 1]].astype(np.int64) - i
-                    adjusted.append(p)
-                sf = lucene_sloppy_freq(adjusted, slop)
-                if sf > 0.0:
-                    hits.append(int(d_local))
-                    sfs.append(sf)
-            if not hits:
+            # flatten each phrase offset's candidate position runs once
+            # (vectorized run extraction — no per-doc slicing)
+            flat, fstarts = [], []
+            for i, t in enumerate(stored):
+                ldoc, _dl, pos, starts = dec[t]
+                j = np.searchsorted(ldoc, cand)
+                rs = starts[j]
+                lens = starts[j + 1] - rs
+                outst = np.zeros(cand.size + 1, dtype=np.int64)
+                np.cumsum(lens, out=outst[1:])
+                total = int(outst[-1])
+                idx = (np.arange(total, dtype=np.int64)
+                       - np.repeat(outst[:-1], lens) + np.repeat(rs, lens))
+                flat.append(pos[idx].astype(np.int64) - i)
+                fstarts.append(outst)
+            if not has_repeats:
+                sf_all = lucene_sloppy_freq_batch(flat, fstarts, slop)
+            else:
+                # repeats: Lucene's SloppyPhraseMatcher repeats machinery,
+                # per candidate (bounded by the rarest repeated term's df)
+                sf_all = np.array([
+                    lucene_sloppy_freq_repeats(
+                        [flat[i][fstarts[i][c]:fstarts[i][c + 1]]
+                         for i in range(len(stored))],
+                        stored, slop)
+                    for c in range(cand.size)
+                ], dtype=np.float64)
+            hit_m = sf_all > 0.0
+            if not hit_m.any():
                 return empty_p
-            hit = np.asarray(hits, dtype=np.int64)
-            sf_arr = np.asarray(sfs, dtype=np.float64)
+            hit = cand[hit_m]
+            sf_arr = sf_all[hit_m]
             ldoc0, dl0, _p0, _s0 = dec[stored[0]]
             dls = dl0[np.searchsorted(ldoc0, hit)].astype(np.float64)
             score = idf_sum * sf_arr / (

@@ -118,47 +118,39 @@ def pack_linear(df: DataFrame, id_col: str, text_col: str,
     over — the standard contract for this packing style.
 
     The prefix sum is the TWO-PHASE distributed form (the
-    corpus.py:assign_doc_ids pattern): range-repartition on ``order`` →
-    per-partition token totals collected (one tiny row per partition) →
-    broadcast prefix offsets → partition-local cumulative sum.  No row
-    ever flows through a single-partition exchange, so the packing scales
-    with the cluster instead of serializing on one task.
-
-    Determinism contract (same as corpus.py:assign_doc_ids, which has
-    held digest-stable at every parallelism level): the two phases are
-    separate jobs over the same range partitioning, so ``df`` must be
-    DETERMINISTIC (a table/parquet scan or pure transformations of one).
-    Pipe nondeterministic sources (``.sample()`` without a seed, unstable
-    upstream shuffles) through a materialization (write, or
-    ``localCheckpoint``) first — otherwise the offsets collected in phase
-    1 can describe a different partitioning than phase 2 recomputes."""
+    corpus.py:assign_doc_ids pattern): deterministic range buckets on
+    ``order`` (``corpus.range_bucket_column`` — boundaries sampled ONCE
+    and baked into a pure expression, so the totals job and the window job
+    see the SAME bucketing by construction; back-to-back
+    ``repartitionByRange`` executions do not guarantee that, because Spark
+    re-seeds boundary sampling per plan) → per-bucket token totals
+    collected (one tiny row per bucket) → broadcast prefix offsets →
+    bucket-local cumulative sum.  No row ever flows through a
+    single-partition exchange, so the packing scales with the cluster
+    instead of serializing on one task.  The bin assignment is independent
+    of how the boundary sample fell — the bucket id is monotone in
+    ``order``, so the composed prefix sum is the exact global one."""
     if budget <= 0:
         raise ValueError("budget must be positive")
+    from archivesspace_virgo_spark.corpus import (
+        prefix_sum_offsets, range_bucket_column,
+    )
+
     order = order_col or id_col
     n_tok = F.size(tokens_column(text_col))
     cols = [F.col(id_col), n_tok.alias("n_tokens")]
     if order != id_col:
         cols.append(F.col(order))
     d = df.select(*cols)
-    # phase 1: range-partition by the packing order; each partition owns a
-    # contiguous slice of the stream
-    keyed = d.repartitionByRange(num_partitions, F.col(order))
-    part = keyed.withColumn("_pid", F.spark_partition_id())
-    totals = (
-        part.groupBy("_pid")
-        .agg(F.sum("n_tokens").alias("_tok"))
-        .orderBy("_pid")
-        .collect()
-    )
-    offsets, acc = [], 0
-    for row in totals:
-        offsets.append((int(row["_pid"]), acc))
-        acc += int(row["_tok"])
-    offsets_df = F.broadcast(
-        df.sparkSession.createDataFrame(
-            offsets or [(0, 0)], "_pid int, _offset long"
-        )
-    )
+    # phase 1: deterministic range buckets over the packing order; each
+    # bucket owns a contiguous slice of the stream
+    pid_col, n_buckets = range_bucket_column(d, [order], num_partitions)
+    part = d.withColumn("_pid", pid_col)
+    totals = {
+        int(r["_pid"]): int(r["_tok"])
+        for r in part.groupBy("_pid").agg(F.sum("n_tokens").alias("_tok")).collect()
+    }
+    offsets_df = prefix_sum_offsets(df.sparkSession, totals, n_buckets)
     # phase 2: partition-local running sum + the broadcast global offset
     wp = Window.partitionBy("_pid").orderBy(order)
     d = (

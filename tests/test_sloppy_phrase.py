@@ -146,10 +146,109 @@ def test_slop_zero_equals_exact_phrase(built):
         == _rows(engine.phrase_search("slow stream", k=10))
 
 
-def test_repeating_terms_raise(built):
-    engine, _docs = built
-    with pytest.raises(ValueError):
-        engine.sloppy_phrase_search("slow slow", slop=2)
+def test_repeats_hand_vectors():
+    """Lucene SloppyPhraseMatcher REPEATS machinery, hand-traced.
+
+    Each expectation below is a hand trace of the algorithm (repeat
+    groups; collision = two positions of one group pointing at the same
+    document token, tpPos = position + offset; the lesser advances):
+
+    - "a b a" on doc "a b a": init collides pp2(a,-2) with pp0(a,0) at
+      token 0 → pp2 advances to 0; queue {0,0,0}; the first advance of
+      pp0 collides at token 2, pp2 is lesser and exhausts → final
+      candidate matchLength 0 → freq 1.0 at any slop.
+    - "a b a" on doc "a a b": init collides at token 0 → pp2 → −1;
+      queue {0,1,−1}, end 1; pop pp2 at −1 → matchLength 2; advancing
+      pp2 exhausts → 1/(1+2) at slop ≥ 2, 0 below (a repeated-term
+      TRANSPOSITION case: pp0→a@0, pp1→b@2, pp2→a@1).
+    - "a a" on doc "a a": init collision advances pp1 to 0; pop pp0,
+      advance to 1, collide at token 1 → pp1 (lesser) exhausts →
+      matchLength 0 → freq 1.0.
+    - "a a" on doc "a x a": same shape with a gap → matchLength 1 →
+      0.5 at slop ≥ 1, 0 at slop 0.
+    - "a b a" on doc "b a a": init collision moves pp2 to 0; pop pp1(b)
+      at −1, matchLength end−(−1) = 2; b exhausts → 1/3 at slop ≥ 2.
+    """
+    from archivesspace_virgo_spark.functions.proximity import (
+        lucene_sloppy_freq_repeats,
+    )
+
+    aba = ["a", "b", "a"]
+    assert lucene_sloppy_freq_repeats(
+        _adjusted(["a", "b", "a"], aba), aba, 0) == pytest.approx(1.0)
+    assert lucene_sloppy_freq_repeats(
+        _adjusted(["a", "a", "b"], aba), aba, 1) == 0.0
+    assert lucene_sloppy_freq_repeats(
+        _adjusted(["a", "a", "b"], aba), aba, 2) == pytest.approx(1 / 3)
+    aa = ["a", "a"]
+    assert lucene_sloppy_freq_repeats(
+        _adjusted(["a", "a"], aa), aa, 0) == pytest.approx(1.0)
+    assert lucene_sloppy_freq_repeats(
+        _adjusted(["a", "x", "a"], aa), aa, 0) == 0.0
+    assert lucene_sloppy_freq_repeats(
+        _adjusted(["a", "x", "a"], aa), aa, 1) == pytest.approx(0.5)
+    assert lucene_sloppy_freq_repeats(
+        _adjusted(["b", "a", "a"], aba), aba, 1) == 0.0
+    assert lucene_sloppy_freq_repeats(
+        _adjusted(["b", "a", "a"], aba), aba, 2) == pytest.approx(1 / 3)
+    # a doc with too few occurrences of the repeated term can never
+    # position both phrase slots → no match
+    assert lucene_sloppy_freq_repeats(
+        _adjusted(["a", "b", "c"], aba), aba, 9) == 0.0
+
+
+def test_repeats_reduces_to_simple_matcher_without_repeats():
+    """On repeat-free phrases the repeats entry point must defer to (and
+    equal) the plain greedy matcher."""
+    import random
+
+    from archivesspace_virgo_spark.functions.proximity import (
+        lucene_sloppy_freq_repeats,
+    )
+
+    rng = random.Random(3)
+    for _ in range(300):
+        n = rng.randint(2, 4)
+        terms = [f"t{i}" for i in range(n)]
+        adj = [sorted(rng.sample(range(-3, 25), rng.randint(1, 5)))
+               for _ in range(n)]
+        slop = rng.randint(0, 5)
+        assert lucene_sloppy_freq_repeats(adj, terms, slop) == pytest.approx(
+            lucene_sloppy_freq(adj, slop))
+
+
+def test_batch_matcher_equals_scalar():
+    """The vectorized lockstep batch matcher (the engine's hot path) is
+    element-for-element the scalar greedy matcher on random inputs."""
+    import random
+
+    import numpy as np
+
+    from archivesspace_virgo_spark.functions.proximity import (
+        lucene_sloppy_freq_batch,
+    )
+
+    rng = random.Random(11)
+    for _ in range(120):
+        n = rng.randint(2, 5)
+        ndocs = rng.randint(1, 12)
+        slop = rng.randint(0, 6)
+        docs = [
+            [sorted(rng.sample(range(-4, 40), rng.randint(1, 7)))
+             for _ in range(n)]
+            for _ in range(ndocs)
+        ]
+        flat = [np.concatenate([np.asarray(d[i], dtype=np.int64)
+                                for d in docs]) for i in range(n)]
+        starts = []
+        for i in range(n):
+            st = np.zeros(ndocs + 1, dtype=np.int64)
+            st[1:] = np.cumsum([len(d[i]) for d in docs])
+            starts.append(st)
+        got = lucene_sloppy_freq_batch(flat, starts, slop)
+        for d in range(ndocs):
+            assert got[d] == pytest.approx(
+                lucene_sloppy_freq(docs[d], slop)), (docs[d], slop)
 
 
 def test_paging_and_absent_terms(built):
@@ -194,13 +293,39 @@ def test_rerank_with_sloppy_second_pass(built):
     assert got == [(d, round(s, 6)) for d, s in exp]
 
 
-def test_query_repeated_term_phrase_falls_back_to_span(built):
-    """'"a b a"~N' through the string entry must not raise: repeated-term
-    sloppy phrases fall back to the ordered SpanNear contract (documented
-    divergence) instead of erroring like the explicit API."""
-    engine, _docs = built
+def test_query_repeated_term_phrase_uses_repeats_machinery(built):
+    """'"a b a"~N' through the string entry runs the REPEATS machinery
+    (true PhraseQuery semantics) and matches a pure-Python recomputation
+    from the raw tokenized text."""
+    from archivesspace_virgo_spark.functions.proximity import (
+        lucene_sloppy_freq_repeats,
+    )
+
+    engine, docs = built
+    terms = ["slow", "stream", "slow"]
     df = engine.query('"slow stream slow"~4', k=10)
-    exp = engine.span_near_search("slow stream slow", slop=4, k=10)
-    assert _rows(df) == _rows(exp)
-    with pytest.raises(ValueError):
-        engine.sloppy_phrase_search("slow stream slow", slop=4)
+    exp = _rows(engine.sloppy_phrase_search(terms, slop=4, k=10))
+    assert _rows(df) == exp
+
+    # independent reference: same BM25 form, repeats matcher over raw text
+    n_docs = len(docs)
+    avgdl = sum(len(t) for _d, t in docs) / n_docs
+    dfs = {t: sum(1 for _d, toks in docs if t in set(toks))
+           for t in set(terms)}
+    idf_sum = sum(
+        math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        for t in terms
+    )
+    ref = []
+    for doc_id, toks in docs:
+        adj = _adjusted(toks, terms)
+        if any(not a for a in adj):
+            continue
+        sf = lucene_sloppy_freq_repeats(adj, terms, 4)
+        if sf <= 0.0:
+            continue
+        score = idf_sum * sf / (
+            sf + K1 * (1.0 - B + B * len(toks) / avgdl))
+        ref.append((doc_id, score))
+    ref.sort(key=lambda ds: (-ds[1], ds[0]))
+    assert exp == [(d, round(s, 6)) for d, s in ref[:10]]
