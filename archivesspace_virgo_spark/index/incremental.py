@@ -49,6 +49,12 @@ from archivesspace_virgo_spark.index.storage import IndexStorage
 
 IDENTITY = ["repo", "path"]
 
+# Cap on the distinct-repo list collected for manifest file-pruning in the
+# survivors fetch.  Below it, the driver hand-off is tiny and pruning skips
+# files; above it, the snapshot is read whole and the (broadcast) identity
+# join narrows it distributed — never an unbounded driver list.
+_MAX_PRUNE_KEYS = 10_000
+
 
 def _latest_per_identity(df: DataFrame) -> DataFrame:
     """Resolve multiple same-identity rows to the newest commit.
@@ -227,9 +233,22 @@ def incremental_update_from_table(
         .join(changed.select(*IDENTITY), IDENTITY, "left_anti")
         .select(*IDENTITY, "doc_id")
     )
-    sk = [r["repo"] for r in survivors_map.select("repo").distinct().collect()]
+    # Manifest file-pruning needs the distinct survivor repos driver-side
+    # (that's Iceberg planning — manifests live on the driver), but the
+    # hand-off must stay BOUNDED: a delta touching many shards of a
+    # many-repo corpus could otherwise collect an unbounded repo list.
+    # limit(cap+1) caps the collect; past the cap, per-repo file pruning
+    # can't skip much anyway, so read the whole snapshot and let the
+    # identity join below (survivors_map is the small, bounded side —
+    # AQE broadcasts it) do the narrowing distributed.
+    sk_rows = (survivors_map.select("repo").distinct()
+               .limit(_MAX_PRUNE_KEYS + 1).collect())
+    sk = [r["repo"] for r in sk_rows]
     if sk:
-        pruned = table.read_pruned(spark, sk, current)
+        if len(sk) > _MAX_PRUNE_KEYS:
+            pruned = table.read(spark, current)
+        else:
+            pruned = table.read_pruned(spark, sk, current)
         if "content_sha256" not in pruned.columns:
             pruned = with_content_sha(pruned)
         # same newest-commit resolution as the delta, then attach stored ids

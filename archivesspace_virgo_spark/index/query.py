@@ -40,6 +40,44 @@ def lucene_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def parse_sort_spec(sort_field, ascending: bool = True):
+    """Normalize a Solr sort spec to ``[(field, asc_bool), ...]``.
+
+    Accepts a bare field name, a Solr sort string (``"f1 asc, f2 desc"``,
+    directions optional — missing directions take ``ascending``), or a
+    sequence whose items are field names or ``(field, direction)`` pairs
+    (direction: "asc"/"desc" or a bool meaning ascending)."""
+    def _dir(d):
+        if isinstance(d, str):
+            dl = d.strip().lower()
+            if dl not in ("asc", "desc"):
+                raise ValueError(f"sort direction must be asc|desc, got {d!r}")
+            return dl == "asc"
+        return bool(d)
+
+    if isinstance(sort_field, str):
+        out = []
+        for part in sort_field.split(","):
+            toks = part.split()
+            if not toks:
+                continue
+            if len(toks) > 2:
+                raise ValueError(f"bad sort clause {part!r}")
+            out.append((toks[0], _dir(toks[1]) if len(toks) == 2
+                        else ascending))
+    else:
+        out = []
+        for item in sort_field:
+            if isinstance(item, str):
+                out.append((item, ascending))
+            else:
+                f, d = item
+                out.append((f, _dir(d)))
+    if not out:
+        raise ValueError("empty sort spec")
+    return out
+
+
 def _excluded_mask(by_term, neg, filter_clauses, docs_per_shard, base,
                    codec):
     """Shard-local exclusion mask shared by every scoring kernel:
@@ -831,27 +869,33 @@ class QueryEngine:
 
     # --- Solr field sort (sort=f asc|desc): matches ordered by a stored
     # doc_map column instead of relevance ---
-    def sorted_search(self, terms: Sequence[str], sort_field: str,
+    def sorted_search(self, terms: Sequence[str], sort_field,
                       k: int = 10, ascending: bool = True, mode: str = "or",
                       exclude: Sequence[str] = (), offset: int = 0,
                       filters: Sequence[Sequence[str]] = ()) -> DataFrame:
-        """Top-k matches by a stored field (doc_id tiebreak).  Scoring is
-        skipped entirely — the unranked match set semi-joins the
-        column-pruned doc_map scan and TakeOrdered merges ≤k rows, exactly
-        like ``facet_search``'s cost shape."""
+        """Top-k matches by stored field(s) (doc_id tiebreak) — Solr's
+        ``sort=f1 asc, f2 desc``.  ``sort_field`` accepts a bare field
+        name (direction from ``ascending``), a Solr sort string
+        ("f1 asc, f2 desc"), or a list of fields / (field, direction)
+        pairs; later keys break ties in earlier ones.  Scoring is skipped
+        entirely — the unranked match set semi-joins the column-pruned
+        doc_map scan and TakeOrdered merges ≤k rows, exactly like
+        ``facet_search``'s cost shape, whatever the key count."""
+        spec = parse_sort_spec(sort_field, ascending)
+        fields = list(dict.fromkeys(f for f, _a in spec))
         hits = self.match_ids(terms, mode=mode, exclude=exclude,
                               filters=filters).select("doc_id")
         dm = self.storage.read(self.spark, "doc_map").select(
-            "doc_id", sort_field
+            "doc_id", *fields
         )
-        key = F.asc(sort_field) if ascending else F.desc(sort_field)
+        keys = [F.asc(f) if a else F.desc(f) for f, a in spec]
         ordered = (
             dm.join(hits, "doc_id", "left_semi")
-            .orderBy(key, F.asc("doc_id"))
+            .orderBy(*keys, F.asc("doc_id"))
         )
         if offset:
             ordered = ordered.offset(offset)
-        return ordered.limit(k).select("doc_id", sort_field)
+        return ordered.limit(k).select("doc_id", *fields)
 
     # --- per-term contribution relation (the primitive under DisMax) ---
     def term_scores(self, terms: Sequence[str]) -> DataFrame:
@@ -1048,9 +1092,27 @@ class QueryEngine:
         are not required — clause-bits 0 in the kernel, so they never
         affect qualification."""
         if not clauses:
-            # pure-SHOULD query: identical to a flat scoring OR
-            return self.search(list(optional_terms), k=k, offset=offset,
-                               exclude=exclude, boosts=boosts,
+            # pure-SHOULD query: a flat scoring OR — but BooleanQuery does
+            # not dedup identical SHOULD clauses, so a term repeated m
+            # times keeps its m× contribution (the clause path applies the
+            # same multiplier via opt_count); search() dedups terms, so
+            # fold the multiplicity into the boosts it parses per stored
+            # term.  Boost keys are normalized to stored form first
+            # (idempotent under _parse_term), matching search()'s
+            # last-assignment semantics for aliased raw keys.
+            counts: dict = {}
+            for t in optional_terms:
+                _f, stored = self._parse_term(t)
+                counts[stored] = counts.get(stored, 0) + 1
+            merged: dict = {}
+            for t, w in (boosts or {}).items():
+                _f, stored = self._parse_term(t)
+                merged[stored] = float(w)
+            for stored, c in counts.items():
+                if c > 1:
+                    merged[stored] = merged.get(stored, 1.0) * c
+            return self.search(sorted(counts), k=k, offset=offset,
+                               exclude=exclude, boosts=merged or None,
                                filters=filters)
         term_cl: dict = {}
         fields: dict = {}
@@ -1870,7 +1932,7 @@ class QueryEngine:
     def rerank(self, terms: Sequence[str], rerank_phrase, k: int = 10,
                rerank_docs: int = 50, weight: float = 2.0,
                mode: str = "or", slop: int = 0,
-               ordered: bool = True) -> DataFrame:
+               ordered: bool = False) -> DataFrame:
         """Solr's two-pass rerank contract: run the main query, take its
         top ``rerank_docs`` window, and reorder that window by
         ``main_score + weight · phrase_score`` (docs the rerank query
@@ -1881,7 +1943,12 @@ class QueryEngine:
         The window ids are a bounded driver-side collect (Solr's
         reRankDocs is likewise a small window); the second pass prunes its
         postings scan to the window's shards and masks candidates
-        in-kernel, so its cost is bounded by the window, not the corpus."""
+        in-kernel, so its cost is bounded by the window, not the corpus.
+
+        ``slop > 0`` defaults to Solr-parity PhraseQuery slop
+        (transpositions allowed) — the SAME contract as ``query('"a
+        b"~N')``, the phrase CLI, and the rerank CLI; ``ordered=True``
+        opts into the stricter ordered SpanNear proximity instead."""
         base = self.search(terms, k=max(k, rerank_docs), mode=mode)
         hits = [(int(r["doc_id"]), float(r["score"]))
                 for r in base.collect()]

@@ -140,3 +140,22 @@ def test_pure_should_path_keeps_filters(engine):
     exp = [(r["doc_id"], round(r["score"], 6)) for r in
            engine.search(["table"], filters=flt).collect()]
     assert got == exp and got
+
+
+def test_pure_should_duplicate_terms_score_m_times(engine):
+    """BooleanQuery does not dedup SHOULD clauses: 'table table' (no '+')
+    scores the term twice.  The pure-SHOULD fast path must match both the
+    boost-2 formulation and the clause path's opt_count contract."""
+    got = [(r["doc_id"], round(r["score"], 6)) for r in
+           engine.boolean_search([], optional_terms=["table", "table"],
+                                 ).collect()]
+    exp = [(r["doc_id"], round(r["score"], 6)) for r in
+           engine.search(["table"], boosts={"table": 2.0}).collect()]
+    assert got == exp and got
+    # and a user-supplied boost composes multiplicatively with the m×
+    got3 = [(r["doc_id"], round(r["score"], 6)) for r in
+            engine.boolean_search([], optional_terms=["table", "table"],
+                                  boosts={"table": 1.5}).collect()]
+    exp3 = [(r["doc_id"], round(r["score"], 6)) for r in
+            engine.search(["table"], boosts={"table": 3.0}).collect()]
+    assert got3 == exp3 and got3

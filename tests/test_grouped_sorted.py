@@ -206,3 +206,55 @@ def test_grouped_search_keeps_null_group(spark, tmp_path):
     null_rows = [r for r in rows if r["lang"] is None]
     assert null_rows and len(null_rows) <= 2
     assert all(r["doc_id"] % 3 == 0 for r in null_rows)
+
+
+def test_multi_field_sort_matches_duckdb_oracle(engine, con):
+    """Solr ``sort=f1 asc, f2 desc``: lang has ~5 values so first-key ties
+    are guaranteed — the second key must break them (and doc_id breaks
+    the rest).  Same oracle run for each accepted spec spelling."""
+    exp = [
+        (l, p, int(d))
+        for l, p, d in con.execute(f"""
+WITH scored AS ({bm25_oracle_sql(TERMS, k=BIG)})
+SELECT lang, 'doc/' || CAST(doc_id AS VARCHAR) AS path, doc_id
+FROM documents WHERE doc_id IN (SELECT doc_id FROM scored)
+ORDER BY lang ASC, path DESC, doc_id LIMIT 12
+""").fetchall()
+    ]
+    for spec in ("lang asc, path desc",
+                 [("lang", "asc"), ("path", "desc")],
+                 [("lang", True), ("path", False)]):
+        got = [(r["lang"], r["path"], r["doc_id"])
+               for r in engine.sorted_search(TERMS, spec, k=12).collect()]
+        assert got == exp and len(got) == 12, spec
+    # second key really is load-bearing: flipping it changes the order
+    flipped = [(r["lang"], r["path"], r["doc_id"]) for r in
+               engine.sorted_search(TERMS, "lang asc, path asc",
+                                    k=12).collect()]
+    assert flipped != exp
+
+
+def test_multi_field_sort_plan_stays_takeordered(engine):
+    """The composite key must still merge through TakeOrderedAndProject
+    (≤k rows cross), not a global sort."""
+    plan = engine.sorted_search(
+        TERMS, "lang asc, path desc", k=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sort_spec_parser_rejects_junk(engine):
+    import pytest as _pt
+    from archivesspace_virgo_spark.index.query import parse_sort_spec
+    assert parse_sort_spec("lang") == [("lang", True)]
+    assert parse_sort_spec("lang", ascending=False) == [("lang", False)]
+    assert parse_sort_spec("lang desc, path") == [("lang", False),
+                                                  ("path", True)]
+    assert parse_sort_spec(["lang", ("path", "desc")]) == [
+        ("lang", True), ("path", False)]
+    with _pt.raises(ValueError):
+        parse_sort_spec("lang sideways")
+    with _pt.raises(ValueError):
+        parse_sort_spec("lang asc extra, path")
+    with _pt.raises(ValueError):
+        parse_sort_spec([])

@@ -29,11 +29,14 @@ def _rows(df):
     return [(r["doc_id"], round(r["score"], 6)) for r in df.collect()]
 
 
-def _expected(engine, k, rerank_docs, weight, slop=0):
+def _expected(engine, k, rerank_docs, weight, slop=0, ordered=False):
     window = [(r["doc_id"], r["score"])
               for r in engine.search(TERMS, k=rerank_docs).collect()]
-    if slop > 0:
+    if slop > 0 and ordered:
         second = engine.span_near_search(PHRASE, slop=slop, k=10 ** 6)
+    elif slop > 0:
+        # the API default: Solr-parity PhraseQuery slop, like query('"a b"~N')
+        second = engine.sloppy_phrase_search(PHRASE, slop=slop, k=10 ** 6)
     else:
         second = engine.phrase_search(PHRASE, k=10 ** 6)
     ph = {r["doc_id"]: r["score"] for r in second.collect()}
@@ -49,9 +52,14 @@ def test_rerank_matches_recombination(engine):
 
 
 def test_rerank_with_slop_and_weights(engine):
+    # default slop semantics = PhraseQuery slop (consistent with
+    # query('"a b"~N') and both CLIs); ordered=True = SpanNear
     got = _rows(engine.rerank(TERMS, PHRASE, k=10, rerank_docs=30,
                               weight=5.0, slop=2))
     assert got == _expected(engine, 10, 30, 5.0, slop=2)
+    got_o = _rows(engine.rerank(TERMS, PHRASE, k=10, rerank_docs=30,
+                                weight=5.0, slop=2, ordered=True))
+    assert got_o == _expected(engine, 10, 30, 5.0, slop=2, ordered=True)
     # weight=0 degenerates to the main query's window order
     got0 = _rows(engine.rerank(TERMS, PHRASE, k=10, rerank_docs=30,
                                weight=0.0))

@@ -290,3 +290,44 @@ def test_expire_snapshots(spark, tmp_path):
     assert n_data_files() == 2
     assert t.read(spark, s3).count() == 90
     assert t.read(spark, s2).count() == 70
+
+
+def test_survivors_fetch_over_prune_cap(spark, tmp_path, monkeypatch):
+    """When the survivors span more distinct repos than the bounded
+    manifest-prune hand-off allows, the sync must fall back to a whole-
+    snapshot read narrowed by the (broadcast) identity join — and produce
+    the exact same index as a full rebuild.  Cap forced to 1 so the
+    fallback actually runs."""
+    from archivesspace_virgo_spark.index import incremental as inc
+
+    monkeypatch.setattr(inc, "_MAX_PRUNE_KEYS", 1)
+    t = SnapshotTable.create(str(tmp_path / "tbl"))
+    # many distinct repos → survivors of any dirty shard span > 1 repo
+    base = _corpus(spark, 0, 150).withColumn(
+        "repo", F.concat(F.lit("repo-"), F.col("path"))
+    )
+    t.append(base)
+    idx = str(tmp_path / "idx")
+    assert incremental_update_from_table(spark, t, idx, CFG)["mode"] == "full_rebuild"
+
+    mods = base.filter(
+        F.regexp_extract("path", "doc/(\\d+)", 1).cast("int").between(10, 14)
+    ).withColumn(
+        "content", F.concat(F.col("content"), F.lit(" modified token"))
+    ).withColumn("commit", F.sha2(F.concat(F.col("path"), F.lit("v2")), 256))
+    t.append(mods)
+    meta = incremental_update_from_table(spark, t, idx, CFG)
+    assert meta["mode"] == "snapshot_diff" and meta["dirty_shards"]
+
+    full_dir = str(tmp_path / "full")
+    dm = IndexStorage(idx).read(spark, "doc_map").select("doc_id", "repo", "path")
+    final = base.withColumn(
+        "content",
+        F.when(
+            F.regexp_extract("path", "doc/(\\d+)", 1).cast("int").between(10, 14),
+            F.concat(F.col("content"), F.lit(" modified token")),
+        ).otherwise(F.col("content")),
+    )
+    build_index(spark, final.join(dm, ["repo", "path"]), full_dir, CFG,
+                input_fingerprint="full")
+    _assert_index_equal(spark, idx, full_dir)
