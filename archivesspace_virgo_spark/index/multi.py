@@ -46,6 +46,14 @@ class MultiIndexEngine:
             raise ValueError("labels must match engines")
 
     def _tagged(self, label: str, df: DataFrame) -> DataFrame:
+        if "index_id" in df.columns:
+            # nested MultiIndexEngine member: compose a path-like id
+            # (outer/inner) instead of colliding on the column
+            rest = [c for c in df.columns if c != "index_id"]
+            return df.select(
+                F.concat(F.lit(label + "/"), F.col("index_id"))
+                .alias("index_id"), *rest
+            )
         return df.select(F.lit(label).alias("index_id"), "*")
 
     def global_stats(self, terms: Sequence[str]) -> tuple:
@@ -58,6 +66,15 @@ class MultiIndexEngine:
         Per-member totals are recovered exactly (avgdl·n rounds to the
         integer token count), so the merged avgdl equals the one a single
         merged index would store."""
+        for lab, e in zip(self.labels, self.engines):
+            if not (hasattr(e, "term_stats") and hasattr(e, "field_stats")):
+                raise ValueError(
+                    "exact_stats requires leaf QueryEngine members: member "
+                    f"{lab!r} ({type(e).__name__}) exposes no "
+                    "term_stats/field_stats.  Nested MultiIndexEngine "
+                    "members compose only under the default "
+                    "per-member-stats contract (exact_stats=False)."
+                )
         e0 = self.engines[0]
         stored = sorted({s for _f, s in (e0._parse_term(t) for t in terms)})
         term_df: dict = {}
@@ -121,4 +138,86 @@ class MultiIndexEngine:
         u = reduce(DataFrame.unionByName, parts)
         return u.groupBy(field).agg(
             F.sum("facet_count").alias("facet_count")
+        )
+
+    def dismax_search(self, terms: Sequence[str],
+                      fields: Optional[Sequence[str]] = None,
+                      tie: float = 0.0, k: int = 10,
+                      offset: int = 0) -> DataFrame:
+        """Distributed DisMax (Solr defType=dismax over an alias): each
+        member runs the full DisjunctionMax reduction under its OWN corpus
+        stats (the per-shard-idf default contract, same as ``search``) and
+        returns ≤ k+offset rows; the merge is one TakeOrdered over
+        |members|·(k+offset) rows.  No postings move."""
+        parts = [
+            self._tagged(lab, e.dismax_search(terms, fields=fields, tie=tie,
+                                              k=k + offset))
+            for lab, e in zip(self.labels, self.engines)
+        ]
+        u = reduce(DataFrame.unionByName, parts)
+        ordered = u.orderBy(F.desc("score"), F.asc("index_id"),
+                            F.asc("doc_id"))
+        if offset:
+            ordered = ordered.offset(offset)
+        return ordered.limit(k)
+
+    def sorted_search(self, terms: Sequence[str], sort_field,
+                      k: int = 10, ascending: bool = True, mode: str = "or",
+                      offset: int = 0, **kw) -> DataFrame:
+        """Distributed field sort (Solr sort=f1 asc, f2 desc over an
+        alias): each member returns its own top-(k+offset) under the SAME
+        composite key, so the global top-k is contained in the
+        |members|·(k+offset)-row union — merged by one TakeOrdered on the
+        identical key list ((index_id, doc_id) final tiebreak)."""
+        from archivesspace_virgo_spark.index.query import parse_sort_spec
+
+        spec = parse_sort_spec(sort_field, ascending)
+        parts = [
+            self._tagged(lab, e.sorted_search(terms, spec, k=k + offset,
+                                              mode=mode, **kw))
+            for lab, e in zip(self.labels, self.engines)
+        ]
+        u = reduce(DataFrame.unionByName, parts)
+        keys = [F.asc(f) if a else F.desc(f) for f, a in spec]
+        ordered = u.orderBy(*keys, F.asc("index_id"), F.asc("doc_id"))
+        if offset:
+            ordered = ordered.offset(offset)
+        return ordered.limit(k)
+
+    def grouped_search(self, terms: Sequence[str], group_field: str,
+                       k_per_group: int = 3, mode: str = "or",
+                       **kw) -> DataFrame:
+        """Distributed result grouping (Solr group.field over an alias),
+        EXACT: every member returns its complete per-group top
+        ``k_per_group`` (each member sees all of its own docs), so the
+        global per-group top-k is contained in the union of member
+        partials — ≤ |members|·|groups|·k rows re-windowed per group, the
+        same second-phase merge SolrCloud's distributed grouping runs,
+        without the approximate first phase.  Cross-member ties break on
+        (index_id, doc_id); group order is the group's best
+        (score desc, group value asc), matching the leaf contract."""
+        parts = [
+            self._tagged(lab, e.grouped_search(terms, group_field,
+                                               k_per_group=k_per_group,
+                                               mode=mode, **kw)
+                         .drop("rank_in_group"))
+            for lab, e in zip(self.labels, self.engines)
+        ]
+        u = reduce(DataFrame.unionByName, parts)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_field).orderBy(
+            F.desc("score"), F.asc("index_id"), F.asc("doc_id")
+        )
+        return (
+            u.withColumn("rank_in_group", F.row_number().over(w))
+            .filter(F.col("rank_in_group") <= k_per_group)
+            .withColumn(
+                "group_top_score",
+                F.max("score").over(Window.partitionBy(group_field)),
+            )
+            .orderBy(F.desc("group_top_score"), F.asc(group_field),
+                     F.asc("rank_in_group"))
+            .select(group_field, "rank_in_group", "index_id", "doc_id",
+                    "score")
         )

@@ -129,3 +129,82 @@ def test_nested_multi_index_default_path(engines):
     exp = [(r["doc_id"], round(r["score"], 6))
            for r in inner.search(TERMS, k=10).collect()]
     assert got == exp and got
+
+
+def test_dismax_merges_member_topk(engines):
+    multi = MultiIndexEngine(engines, labels=["a", "b"])
+    got = _rows(multi.dismax_search(TERMS, tie=0.3, k=10))
+    member = []
+    for lab, e in zip(["a", "b"], engines):
+        member += [(lab, r["doc_id"], round(r["score"], 6))
+                   for r in e.dismax_search(TERMS, tie=0.3, k=10).collect()]
+    member.sort(key=lambda t: (-t[2], t[0], t[1]))
+    assert got == member[:10] and len(got) == 10
+    # paging consistency, same contract as search
+    assert _rows(multi.dismax_search(TERMS, tie=0.3, k=4, offset=4)) \
+        == got[4:8]
+
+
+def test_sorted_merges_member_topk(engines):
+    multi = MultiIndexEngine(engines, labels=["a", "b"])
+    spec = "lang asc, path desc"
+    got = [(r["index_id"], r["doc_id"], r["lang"], r["path"])
+           for r in multi.sorted_search(TERMS, spec, k=10).collect()]
+    member = []
+    for lab, e in zip(["a", "b"], engines):
+        member += [(lab, r["doc_id"], r["lang"], r["path"])
+                   for r in e.sorted_search(TERMS, spec, k=10).collect()]
+    # same composite key: lang asc, path desc, then (index_id, doc_id)
+    member.sort(key=lambda t: (t[2], _desc(t[3]), t[0], t[1]))
+    assert got == member[:10] and len(got) == 10
+
+
+class _desc:
+    """Reverse-ordering wrapper for pure-Python sort keys."""
+    def __init__(self, v):
+        self.v = v
+    def __lt__(self, o):
+        return self.v > o.v
+    def __eq__(self, o):
+        return self.v == o.v
+
+
+def test_grouped_merges_member_partials(engines):
+    """Exact distributed grouping: union of member per-group tops,
+    re-windowed — pinned against a pure-Python recombination of the
+    members' own (oracle-pinned) grouped results."""
+    multi = MultiIndexEngine(engines, labels=["a", "b"])
+    kpg = 3
+    got = [(r["lang"], r["rank_in_group"], r["index_id"], r["doc_id"],
+            round(r["score"], 6))
+           for r in multi.grouped_search(TERMS, "lang",
+                                         k_per_group=kpg).collect()]
+    rows = []
+    for lab, e in zip(["a", "b"], engines):
+        rows += [(r["lang"], lab, r["doc_id"], round(r["score"], 6))
+                 for r in e.grouped_search(TERMS, "lang",
+                                           k_per_group=kpg).collect()]
+    groups: dict = {}
+    for lang, lab, d, s in rows:
+        groups.setdefault(lang, []).append((lab, d, s))
+    exp = []
+    for lang, members in groups.items():
+        members.sort(key=lambda t: (-t[2], t[0], t[1]))
+        top = members[:kpg]
+        exp.append((max(s for _l, _d, s in top), lang,
+                    [(lang, i + 1, lab, d, s)
+                     for i, (lab, d, s) in enumerate(top)]))
+    exp.sort(key=lambda t: (-t[0], t[1] if t[1] is not None else ""))
+    flat = [row for _top, _lang, rs in exp for row in rs]
+    assert got == flat and len(got) >= kpg
+
+
+def test_exact_stats_nested_member_raises(engines):
+    nested = MultiIndexEngine(
+        [MultiIndexEngine(engines, labels=["a", "b"]), engines[0]],
+        labels=["inner", "leaf"],
+    )
+    with pytest.raises(ValueError, match="leaf QueryEngine"):
+        nested.search(TERMS, k=5, exact_stats=True)
+    # default contract still composes
+    assert nested.search(TERMS, k=5).count() == 5
