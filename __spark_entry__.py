@@ -178,6 +178,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return engine.facet_search(TERMS_OR, "lang")
     q["facet_search_lang"] = q_facet_search
 
+    def q_sorted_multi(spark, sf_dir):
+        # Solr sort=f1 asc, f2 desc: unranked match set ordered by a
+        # composite stored-field key (second key breaks first-key ties,
+        # doc_id breaks the rest); merge stays TakeOrdered ≤k rows
+        engine = _engine_for(spark, sf_dir)
+        return engine.sorted_search(["table"], "lang asc, path desc", k=K)
+    q["sorted_multi_field"] = q_sorted_multi
+
     def q_doc_stats(spark, sf_dir):
         from archivesspace_virgo_spark.tokenizer import tokens_column
         return _docs(spark, sf_dir).select(
@@ -859,6 +867,14 @@ SELECT lang, count(*) AS facet_count
 FROM documents
 WHERE len(list_intersect({_TOKS}, [{terms_list}])) > 0
 GROUP BY lang
+"""
+
+    o["sorted_multi_field"] = f"""
+SELECT doc_id, lang, 'doc/' || CAST(doc_id AS VARCHAR) AS path
+FROM documents
+WHERE len(list_intersect({_TOKS}, ['table'])) > 0
+ORDER BY lang ASC, path DESC, doc_id ASC
+LIMIT {K}
 """
 
     o["doc_stats"] = f"SELECT doc_id, len({_TOKS}) AS dl FROM documents"
