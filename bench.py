@@ -336,6 +336,11 @@ def main():
         "build_sec_runs": main_run.get("build_sec_runs", []),
         "extra_queries": main_run.get("extra_queries", {}),
         "query_p95_sec": round(main_run.get("query_p95_sec", 0.0), 4),
+        # ADVICE r4: version the estimator so cross-round comparisons don't
+        # conflate an estimator change with a perf change — query_p95_sec
+        # has been trimmed best-2-of-3 since r4; the untrimmed quantile is
+        # query_p95_raw_sec (both always emitted).
+        "p95_estimator": "trimmed_best2of3_warm",
         "query_p95_raw_sec": main_run.get("query_p95_raw_sec", 0.0),
         "query_cold_p95_sec": round(main_run.get("query_cold_p95_sec", 0.0), 4),
         "query_cold_first_sec": round(main_run.get("query_cold_first_sec", 0.0), 4),
