@@ -58,25 +58,27 @@ from archivesspace_virgo_spark.tokenizer import tokens_column
 
 
 def _pack_occurrences(
-    shard: int, terms, doc_ids, dls, positions, block_size: int
+    shard: int, codes, uniq_terms, doc_ids, dls, positions, block_size: int
 ) -> pd.DataFrame:
     """Encode raw token OCCURRENCES into one posting row per term.
 
-    Input: one entry per token occurrence (term, doc_id, dl, position within
-    the doc's field token stream).  Everything — tf aggregation, delta-gap,
-    varbyte, positions, block-max — is computed with batched numpy over the
-    whole shard at once; the only per-term Python work is slicing the
-    pre-encoded byte stream (``codec.varbyte_encode_segments``).  This
-    replaces the round-1 per-term interpreter loop that bounded build CPU.
+    Input: one entry per token occurrence — its term as a code into the
+    LEXICOGRAPHICALLY SORTED ``uniq_terms`` (the caller factorizes:
+    Arrow ``dictionary_encode`` + an argsort of the uniques only — a C++
+    hash pass over the occurrence stream; ``pd.factorize`` hashed the
+    same stream through Python string objects and ``np.unique`` would
+    comparison-sort every occurrence), plus doc_id, dl, and position
+    within the doc's field token stream.  Everything — tf aggregation,
+    delta-gap, varbyte, positions, block-max — is computed with batched
+    numpy over the whole shard at once; the only per-term Python work is
+    slicing the pre-encoded byte stream
+    (``codec.varbyte_encode_segments``).  This replaces the round-1
+    per-term interpreter loop that bounded build CPU.
     """
-    n = terms.size
+    n = codes.size
     cols = [f.name for f in POSTINGS_SCHEMA.fields]
     if n == 0:
         return pd.DataFrame(columns=cols)
-    # hash-based factorize (O(n) + sort of the UNIQUES only) — np.unique
-    # would comparison-sort every occurrence string, which measurably
-    # bounded build CPU
-    codes, uniq_terms = pd.factorize(terms, sort=True)
     # stable lexsort on (term, doc): occurrences are generated in ascending
     # position order per (doc, field) and a term never spans fields, so
     # positions stay ascending within each posting without a third sort key
@@ -194,11 +196,14 @@ def _make_packer(block_size: int, fields: tuple = ("content",)):
     dl is the per-(doc, field) token count; non-default fields are stored
     prefix-composite ("field:token"), so each (term, doc) has exactly one dl.
     """
-    from archivesspace_virgo_spark.tokenizer import tokenize_series
+    from archivesspace_virgo_spark.tokenizer import tokenize_flat
 
     default = fields[0]
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         empty = pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
         if pdf.empty:
             return empty
@@ -206,8 +211,7 @@ def _make_packer(block_size: int, fields: tuple = ("content",)):
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         doc_parts, dl_parts, term_parts, pos_parts = [], [], [], []
         for f in fields:
-            toks = tokenize_series(pdf[f])
-            lens = toks.map(len).to_numpy(dtype=np.int64)
+            flat, lens = tokenize_flat(pdf[f])
             total = int(lens.sum())
             if total == 0:
                 continue
@@ -218,21 +222,31 @@ def _make_packer(block_size: int, fields: tuple = ("content",)):
             starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
             pos_parts.append(np.arange(total, dtype=np.int64)
                              - np.repeat(starts, lens))
-            flat = np.concatenate(
-                [np.asarray(t, dtype=object) for t in toks if t]
-            )
+            if not isinstance(flat, pa.Array):  # unicode fallback path
+                flat = pa.array(flat, type=pa.string())
             if f != default:
                 # prefix-composite terms, vectorized over the FLAT token
-                # array (one pandas str concat, not a per-row Python loop)
-                flat = (f + ":" + pd.Series(flat, dtype=object)).to_numpy(
-                    dtype=object
-                )
+                # array (one Arrow element-wise join, no per-row loop)
+                flat = pc.binary_join_element_wise(f + ":", flat, "")
             term_parts.append(flat)
         if not term_parts:
             return empty
+        # factorize the occurrence stream Arrow-side: a C++ hash encode
+        # over string views (no per-token Python objects), then sort the
+        # UNIQUES only and remap codes — pd.factorize(sort=True) semantics
+        enc = pc.dictionary_encode(
+            pa.concat_arrays(term_parts) if len(term_parts) > 1
+            else term_parts[0]
+        )
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary.to_numpy(zero_copy_only=False)
+        perm = np.argsort(uniq)
+        rank = np.empty(perm.size, dtype=np.int64)
+        rank[perm] = np.arange(perm.size)
         return _pack_occurrences(
             shard,
-            np.concatenate(term_parts),
+            rank[idx],
+            uniq[perm],
             np.concatenate(doc_parts),
             np.concatenate(dl_parts),
             np.concatenate(pos_parts),

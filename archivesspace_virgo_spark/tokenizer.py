@@ -46,6 +46,55 @@ def tokenize_series(s: pd.Series) -> pd.Series:
     return s.fillna("").map(tokenize_text)
 
 
+def tokenize_flat(s: pd.Series):
+    """Batch tokenizer for the pack kernel: ``(flat_tokens, lens)`` where
+    ``flat_tokens`` holds every row's tokens concatenated in row order
+    (``pyarrow.Array`` on the fast path, numpy object array on the
+    fallback) and ``lens`` is each row's token count (int64).
+
+    Token-for-token identical to ``tokenize_series`` (property-pinned in
+    tests/test_tokenizer.py): ASCII batches run Arrow's RE2
+    ``split_pattern_regex`` over the whole series — one vectorized C++
+    pass instead of a per-document Python ``re.split``, which profiling
+    showed was the single largest CPU cost of the index build.  Batches
+    containing non-ASCII rows recompute JUST those rows with the scalar
+    ``tokenize_text`` (full-Unicode ``str.lower`` parity — e.g. ``'K'``
+    must lower to ``'k'`` exactly as Python does) and splice them back in
+    row order; an all-ASCII corpus never pays that path.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    filled = s.fillna("").astype(str)
+    arr = pa.Array.from_pandas(filled, type=pa.string())
+    ascii_mask = pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)
+    all_ascii = bool(ascii_mask.all())
+    lower = pc.ascii_lower(arr) if all_ascii else pc.utf8_lower(arr)
+    splits = pc.split_pattern_regex(lower, TOKEN_SPLIT_PATTERN)
+    flat_all = pc.list_flatten(splits)
+    lens_all = pc.list_value_length(splits).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    nonempty = pc.not_equal(flat_all, "")
+    ne_np = nonempty.to_numpy(zero_copy_only=False)
+    n_rows = lens_all.size
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), lens_all)
+    lens = np.bincount(row_of[ne_np], minlength=n_rows).astype(np.int64)
+    flat = flat_all.filter(nonempty)
+    if all_ascii:
+        return flat, lens
+    # rare path: splice scalar-tokenized non-ASCII rows back in row order
+    per_row = np.split(flat.to_numpy(zero_copy_only=False),
+                       np.cumsum(lens)[:-1])
+    for i in np.flatnonzero(~ascii_mask):
+        per_row[i] = np.asarray(tokenize_text(filled.iloc[i]), dtype=object)
+        lens[i] = per_row[i].size
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=object), lens
+    return np.concatenate([p for p in per_row if p.size]), lens
+
+
 def tokens_column(col: Column | str) -> Column:
     """JVM-side tokenizer expression — the engine-side definition.
 

@@ -100,3 +100,41 @@ def test_regexp_count_dl_equivalence(spark):
         ).alias("ne")
     ).filter(F.col("ne")).count()
     assert diff == 0
+
+
+# --- tokenize_flat (the Arrow-vectorized pack-kernel batch form) ---
+
+def _flat_as_lists(s: pd.Series):
+    import numpy as np
+
+    from archivesspace_virgo_spark.tokenizer import tokenize_flat
+
+    flat, lens = tokenize_flat(s)
+    toks = (flat.to_numpy(zero_copy_only=False)
+            if not isinstance(flat, np.ndarray) else flat)
+    out, off = [], 0
+    for n in lens:
+        out.append(list(toks[off:off + int(n)]))
+        off += int(n)
+    assert off == len(toks)  # lens must account for every emitted token
+    return out
+
+
+def test_tokenize_flat_matches_series_on_cases():
+    s = pd.Series(CASES + [None], dtype=object)
+    assert _flat_as_lists(s) == tokenize_series(s).tolist()
+
+
+def test_tokenize_flat_mixed_ascii_unicode_batch():
+    # forces the splice path: ascii rows Arrow-tokenized, the unicode rows
+    # (incl. Kelvin sign K which str.lower() maps INTO [a-z0-9]) scalar
+    s = pd.Series(["plain ascii", "Kelvin sign", "héllo wörld",
+                   "", None, "Tail.Case(x)"], dtype=object)
+    assert _flat_as_lists(s) == tokenize_series(s).tolist()
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.text(max_size=40), max_size=8))
+def test_tokenize_flat_property_matches_series(texts):
+    s = pd.Series(texts, dtype=object)
+    assert _flat_as_lists(s) == tokenize_series(s).tolist()
