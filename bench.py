@@ -78,12 +78,31 @@ EXTRA_SUITE = [
 _LOCAL_DIR = None  # set by scale_child to a tmpfs path
 
 
-def make_session(cpus: int) -> SparkSession:
+def make_session(cpus: int, master: str = None) -> SparkSession:
+    if master and master.startswith("local-cluster"):
+        # executor JVMs are separate processes: they need SPARK_HOME, an
+        # explicit worker python, and the repo on the worker PYTHONPATH
+        import sys as _s
+
+        import pyspark as _ps
+        os.environ.setdefault(
+            "SPARK_HOME", os.path.dirname(_ps.__file__))
+        os.environ.setdefault("PYSPARK_PYTHON", _s.executable)
+        os.environ.setdefault(
+            "PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
     b = SparkSession.builder
+    if master and master.startswith("local-cluster"):
+        b = b.config("spark.executorEnv.PYTHONPATH",
+                     os.path.dirname(os.path.abspath(__file__)))
+        # local-cluster[E,C,mem]'s third arg is only the WORKER's
+        # advertised capacity — executor heap stays at the 1g default
+        # unless spark.executor.memory claims it explicitly
+        worker_mb = master.rstrip("]").split(",")[-1]
+        b = b.config("spark.executor.memory", f"{worker_mb}m")
     if _LOCAL_DIR:
         b = b.config("spark.local.dir", _LOCAL_DIR)
     return (
-        b.master(f"local[{cpus}]")
+        b.master(master or f"local[{cpus}]")
         .appName("avs-bench")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
@@ -349,9 +368,19 @@ def main():
     print(json.dumps(result))
 
 
-def scale_child(cpus: int) -> None:
+def scale_child(cpus: int, master: str = None, label: str = None) -> None:
     """One scaling measurement: warm-up build (JIT-compiles the whole path),
     then the timed build of the scaling corpus.  Prints one JSON line.
+
+    ``master`` overrides the session master (default ``local[cpus]``) —
+    the ``--cluster-child E C`` entry point passes
+    ``local-cluster[E,C,mem]``: E executor JVMs × C cores each, separate
+    processes, exactly how a real deployment sizes executors (~4-5
+    cores/JVM; a single 16-thread JVM hits allocator/GC pathologies no
+    real cluster ever runs into — measured and documented in BASELINE.md).
+    Two cluster SIZES (1 executor vs 4 executors, same per-executor
+    shape) are then literally two cluster sizes, the closest sandbox
+    rendition of the north rule's criterion.
 
     Shuffle spill + index output go to tmpfs when available: the sandbox
     disk is a single shared ~600 MB/s device whose serial bandwidth would
@@ -371,7 +400,7 @@ def scale_child(cpus: int) -> None:
         tempfile.tempdir = shm  # index dirs land on tmpfs too
         global _LOCAL_DIR
         _LOCAL_DIR = os.path.join(shm, "spark-local")
-    spark = make_session(cpus)
+    spark = make_session(cpus, master=master)
     spark.sparkContext.setLogLevel("ERROR")
     try:
         import shutil as _sh
@@ -387,7 +416,8 @@ def scale_child(cpus: int) -> None:
         build_index(spark, corpus, index_dir, cfg)
         dt = time.time() - t0
         print(json.dumps({
-            "cpus": cpus, "n_docs": n, "build_sec": round(dt, 2),
+            "cpus": cpus, "master": label or f"local[{cpus}]",
+            "n_docs": n, "build_sec": round(dt, 2),
             "docs_per_sec": n / dt,
             "digest": index_digest(spark, index_dir),
         }))
@@ -404,5 +434,13 @@ if __name__ == "__main__":
 
     if len(_sys.argv) >= 3 and _sys.argv[1] == "--scale-child":
         scale_child(int(_sys.argv[2]))
+    elif len(_sys.argv) >= 4 and _sys.argv[1] == "--cluster-child":
+        n_exec, cores = int(_sys.argv[2]), int(_sys.argv[3])
+        mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "8192"))
+        scale_child(
+            n_exec * cores,
+            master=f"local-cluster[{n_exec},{cores},{mem_mb}]",
+            label=f"local-cluster[{n_exec},{cores}]",
+        )
     else:
         main()
