@@ -73,16 +73,33 @@ def varbyte_encode_segments(
     every value (int64 array, len(values)+1 with the total as last element) —
     callers derive per-block offsets for random-access block decode from it.
     """
+    out, seg_byte_offsets, value_offsets = varbyte_encode_stream(
+        values, seg_starts
+    )
+    if seg_byte_offsets.size <= 1:
+        return ([], value_offsets) if return_value_offsets else []
+    buf = out.tobytes()
+    blobs = [buf[a:b] for a, b in zip(seg_byte_offsets[:-1],
+                                      seg_byte_offsets[1:])]
+    return (blobs, value_offsets) if return_value_offsets else blobs
+
+
+def varbyte_encode_stream(values: np.ndarray, seg_starts: np.ndarray):
+    """Zero-slicing form of :func:`varbyte_encode_segments`: returns
+    ``(stream, seg_byte_offsets, value_offsets)`` where ``stream`` is ONE
+    contiguous uint8 array holding every segment back to back and
+    ``seg_byte_offsets`` (int64, ``n_seg + 1``) delimits each segment's
+    bytes within it.  This is exactly the (values, offsets) pair an Arrow
+    binary array is made of, so the pack kernel can hand the encoded
+    stream to Arrow without materializing one Python ``bytes`` per term.
+    """
     out, nbytes = _varbyte_encode_raw(values)
     seg_starts = np.asarray(seg_starts, dtype=np.int64)
     value_offsets = np.concatenate([[0], np.cumsum(nbytes)])
     if seg_starts.size == 0:
-        return ([], value_offsets) if return_value_offsets else []
-    seg_byte_starts = value_offsets[seg_starts]
-    seg_byte_ends = np.append(seg_byte_starts[1:], out.size)
-    buf = out.tobytes()
-    blobs = [buf[a:b] for a, b in zip(seg_byte_starts, seg_byte_ends)]
-    return (blobs, value_offsets) if return_value_offsets else blobs
+        return out[:0], np.zeros(1, dtype=np.int64), value_offsets
+    seg_byte_offsets = np.append(value_offsets[seg_starts], out.size)
+    return out, seg_byte_offsets, value_offsets
 
 
 def decode_posting_blocks(

@@ -10,9 +10,12 @@ Dataflow — ONE shuffle total:
         lower/split/filter; non-default fields prefixed "field:token";
         Generate preserves the doc_shard partitioning)
       → doc_stats (doc_shard, doc_id, field, dl)        [partition-local write]
-      → groupBy(doc_shard).applyInPandas(pack): partition-LOCAL sort, no
-        exchange; the kernel does tf aggregation (pandas groupby) + delta-gap
-        + varbyte + block-max in numpy per shard
+      → groupBy(doc_shard).applyInArrow(pack): partition-LOCAL sort, no
+        exchange; the kernel tokenizes (Arrow RE2), factorizes
+        (dictionary_encode) and encodes (delta-gap + varbyte + block-max in
+        numpy) per shard, reading Spark's Arrow buffers directly and
+        emitting zero-copy Arrow output — content bytes never exist as
+        Python/pandas objects
       → postings parquet partitioned by doc_shard, rows sorted by term so
         parquet rowgroup min/max stats prune term lookups at query time.
 
@@ -26,7 +29,7 @@ Scale notes (the 100 TB story):
   ALL shards with disjoint doc ranges: skew is bounded by shard size by
   construction (the salting scheme of SURVEY.md §4.2), and exact df is the
   sum of per-shard n_docs.
-- Each shard is one applyInPandas group; docs_per_shard controls kernel
+- Each shard is one applyInArrow group; docs_per_shard controls kernel
   memory (4096 for tests; millions at cluster scale — size so one shard's
   tokens fit an Arrow batch comfortably).
 - Resume: shards listed in _lineage for the same input fingerprint are
@@ -57,6 +60,58 @@ from archivesspace_virgo_spark.index.storage import (
 from archivesspace_virgo_spark.tokenizer import tokens_column
 
 
+def _arrow_postings_schema():
+    import pyarrow as pa
+
+    return pa.schema([
+        ("doc_shard", pa.int32()),
+        ("term", pa.string()),
+        ("n_docs", pa.int32()),
+        ("cf", pa.int64()),
+        ("doc_blob", pa.binary()),
+        ("tf_blob", pa.binary()),
+        ("dl_blob", pa.binary()),
+        ("pos_blob", pa.binary()),
+        ("block_last_doc", pa.list_(pa.int64())),
+        ("block_max_tf", pa.list_(pa.int64())),
+        ("block_min_dl", pa.list_(pa.int64())),
+        ("block_doc_off", pa.list_(pa.int64())),
+        ("block_tf_off", pa.list_(pa.int64())),
+        ("block_dl_off", pa.list_(pa.int64())),
+    ])
+
+
+def _pa_binary_from_stream(stream: np.ndarray, offsets: np.ndarray):
+    """Arrow binary array straight over the encoder's contiguous byte
+    stream — (values, offsets) IS Arrow's binary layout, so no per-term
+    ``bytes`` objects exist at all.  Falls back to slicing only if one
+    shard's stream exceeds int32 offsets (>2 GiB — docs_per_shard is sized
+    orders of magnitude below that)."""
+    import pyarrow as pa
+
+    n = offsets.size - 1
+    if offsets[-1] > np.iinfo(np.int32).max:  # pragma: no cover - 2GiB shard
+        buf = stream.tobytes()
+        return pa.array(
+            [buf[a:b] for a, b in zip(offsets[:-1], offsets[1:])],
+            type=pa.binary(),
+        )
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.astype(np.int32)),
+         pa.py_buffer(np.ascontiguousarray(stream))],
+    )
+
+
+def _pa_list_int64(values: np.ndarray, offsets: np.ndarray):
+    import pyarrow as pa
+
+    return pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), type=pa.int32()),
+        pa.array(values.astype(np.int64, copy=False), type=pa.int64()),
+    )
+
+
 def _pack_occurrences(
     shard: int, codes, uniq_terms, doc_ids, dls, positions, block_size: int
 ) -> pd.DataFrame:
@@ -75,10 +130,31 @@ def _pack_occurrences(
     (``codec.varbyte_encode_segments``).  This replaces the round-1
     per-term interpreter loop that bounded build CPU.
     """
-    n = codes.size
+    import pyarrow as pa
+
     cols = [f.name for f in POSTINGS_SCHEMA.fields]
-    if n == 0:
+    if codes.size == 0:
         return pd.DataFrame(columns=cols)
+    tbl = _pack_occurrences_table(
+        shard, codes, pa.array(uniq_terms, type=pa.string()),
+        doc_ids, dls, positions, block_size,
+    )
+    return tbl.to_pandas()
+
+
+def _pack_occurrences_table(
+    shard: int, codes, terms_sorted, doc_ids, dls, positions, block_size: int
+):
+    """Arrow-native core of :func:`_pack_occurrences`: same numpy math, but
+    the output is a ``pyarrow.Table`` whose binary/list columns are built
+    zero-copy over the encoder's contiguous streams (``terms_sorted`` is the
+    lexicographically sorted term dictionary as a ``pyarrow.Array``).  The
+    pandas form paid one Python ``bytes`` + six ``tolist()`` per term plus a
+    pandas->Arrow re-conversion per batch — all pure overhead on the
+    kernel's output side."""
+    import pyarrow as pa
+
+    n = codes.size
     # stable lexsort on (term, doc): occurrences are generated in ascending
     # position order per (doc, field) and a term never spans fields, so
     # positions stay ascending within each posting without a third sort key
@@ -120,16 +196,16 @@ def _pack_occurrences(
     gap[1:] = post_doc[1:] - post_doc[:-1]
     gap[t_start] = post_doc[t_start]
 
-    doc_blobs, doc_voff = codec.varbyte_encode_segments(
-        gap.astype(np.uint64), t_start, return_value_offsets=True
+    doc_stream, doc_soff, doc_voff = codec.varbyte_encode_stream(
+        gap.astype(np.uint64), t_start
     )
-    tf_blobs, tf_voff = codec.varbyte_encode_segments(
-        tf.astype(np.uint64), t_start, return_value_offsets=True
+    tf_stream, tf_soff, tf_voff = codec.varbyte_encode_stream(
+        tf.astype(np.uint64), t_start
     )
-    dl_blobs, dl_voff = codec.varbyte_encode_segments(
-        post_dl.astype(np.uint64), t_start, return_value_offsets=True
+    dl_stream, dl_soff, dl_voff = codec.varbyte_encode_stream(
+        post_dl.astype(np.uint64), t_start
     )
-    pos_blobs = codec.varbyte_encode_segments(
+    pos_stream, pos_soff, _ = codec.varbyte_encode_stream(
         pos_d.astype(np.uint64), p_start[t_start]
     )
 
@@ -152,32 +228,29 @@ def _pack_occurrences(
     b_doc_off = doc_voff[block_start] - doc_voff[t_start][block_term]
     b_tf_off = tf_voff[block_start] - tf_voff[t_start][block_term]
     b_dl_off = dl_voff[block_start] - dl_voff[t_start][block_term]
-    nb_bounds = np.cumsum(nb)[:-1]
-    b_last_per = np.split(b_last, nb_bounds)
-    b_maxtf_per = np.split(b_maxtf, nb_bounds)
-    b_mindl_per = np.split(b_mindl, nb_bounds)
-    b_doc_off_per = np.split(b_doc_off, nb_bounds)
-    b_tf_off_per = np.split(b_tf_off, nb_bounds)
-    b_dl_off_per = np.split(b_dl_off, nb_bounds)
+    nb_off = np.concatenate([[0], np.cumsum(nb)])
 
     # per-term cf (sum of tfs) via reduceat over postings
     cf = np.add.reduceat(tf, t_start)
-    return pd.DataFrame({
-        "doc_shard": np.full(n_terms, shard, dtype=np.int32),
-        "term": np.asarray(uniq_terms, dtype=object),
-        "n_docs": counts.astype(np.int32),
-        "cf": cf.astype(np.int64),
-        "doc_blob": doc_blobs,
-        "tf_blob": tf_blobs,
-        "dl_blob": dl_blobs,
-        "pos_blob": pos_blobs,
-        "block_last_doc": [b.tolist() for b in b_last_per],
-        "block_max_tf": [b.tolist() for b in b_maxtf_per],
-        "block_min_dl": [b.tolist() for b in b_mindl_per],
-        "block_doc_off": [b.tolist() for b in b_doc_off_per],
-        "block_tf_off": [b.tolist() for b in b_tf_off_per],
-        "block_dl_off": [b.tolist() for b in b_dl_off_per],
-    })
+    return pa.table(
+        {
+            "doc_shard": pa.array(np.full(n_terms, shard, dtype=np.int32)),
+            "term": terms_sorted,
+            "n_docs": pa.array(counts.astype(np.int32)),
+            "cf": pa.array(cf.astype(np.int64)),
+            "doc_blob": _pa_binary_from_stream(doc_stream, doc_soff),
+            "tf_blob": _pa_binary_from_stream(tf_stream, tf_soff),
+            "dl_blob": _pa_binary_from_stream(dl_stream, dl_soff),
+            "pos_blob": _pa_binary_from_stream(pos_stream, pos_soff),
+            "block_last_doc": _pa_list_int64(b_last, nb_off),
+            "block_max_tf": _pa_list_int64(b_maxtf, nb_off),
+            "block_min_dl": _pa_list_int64(b_mindl, nb_off),
+            "block_doc_off": _pa_list_int64(b_doc_off, nb_off),
+            "block_tf_off": _pa_list_int64(b_tf_off, nb_off),
+            "block_dl_off": _pa_list_int64(b_dl_off, nb_off),
+        },
+        schema=_arrow_postings_schema(),
+    )
 
 
 def _make_packer(block_size: int, fields: tuple = ("content",)):
@@ -196,22 +269,44 @@ def _make_packer(block_size: int, fields: tuple = ("content",)):
     dl is the per-(doc, field) token count; non-default fields are stored
     prefix-composite ("field:token"), so each (term, doc) has exactly one dl.
     """
+    pack_arrow = _make_packer_arrow(block_size, fields)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+
+        if pdf.empty:
+            return pd.DataFrame(
+                columns=[f.name for f in POSTINGS_SCHEMA.fields]
+            )
+        return pack_arrow(pa.Table.from_pandas(pdf)).to_pandas()
+
+    return pack
+
+
+def _make_packer_arrow(block_size: int, fields: tuple = ("content",)):
+    """Arrow-native grouped-map packer (``applyInArrow`` form) — the build
+    hot path.  Identical semantics to :func:`_make_packer`; the difference
+    is purely mechanical: the group arrives as a ``pyarrow.Table`` (the
+    buffers Spark shipped, no pandas string materialization — at ~10 KB of
+    content per doc the pandas detour re-copied the whole corpus per batch)
+    and the output is built zero-copy over the encoder's streams."""
     from archivesspace_virgo_spark.tokenizer import tokenize_flat
 
     default = fields[0]
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+    def pack(tbl):
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        empty = pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
-        if pdf.empty:
+        empty = _arrow_postings_schema().empty_table()
+        if tbl.num_rows == 0:
             return empty
-        shard = int(pdf["doc_shard"].iloc[0])
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        shard = int(tbl.column("doc_shard")[0].as_py())
+        doc_ids = tbl.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
         doc_parts, dl_parts, term_parts, pos_parts = [], [], [], []
         for f in fields:
-            flat, lens = tokenize_flat(pdf[f])
+            flat, lens = tokenize_flat(tbl.column(f))
             total = int(lens.sum())
             if total == 0:
                 continue
@@ -234,19 +329,24 @@ def _make_packer(block_size: int, fields: tuple = ("content",)):
         # factorize the occurrence stream Arrow-side: a C++ hash encode
         # over string views (no per-token Python objects), then sort the
         # UNIQUES only and remap codes — pd.factorize(sort=True) semantics
+        # (UTF-8 byte order == code-point order, so Arrow's sort agrees
+        # with Python string comparison)
         enc = pc.dictionary_encode(
             pa.concat_arrays(term_parts) if len(term_parts) > 1
             else term_parts[0]
         )
         idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq = enc.dictionary.to_numpy(zero_copy_only=False)
-        perm = np.argsort(uniq)
+        perm_arr = pc.array_sort_indices(enc.dictionary)
+        perm = perm_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         rank = np.empty(perm.size, dtype=np.int64)
         rank[perm] = np.arange(perm.size)
-        return _pack_occurrences(
+        terms_sorted = pc.take(enc.dictionary, perm_arr)
+        if not pa.types.is_string(terms_sorted.type):
+            terms_sorted = pc.cast(terms_sorted, pa.string())
+        return _pack_occurrences_table(
             shard,
             rank[idx],
-            uniq[perm],
+            terms_sorted,
             np.concatenate(doc_parts),
             np.concatenate(dl_parts),
             np.concatenate(pos_parts),
@@ -467,7 +567,6 @@ def build_index(
     # --- doc_map (identity + ingest invariant; facet columns live here) ---
     meta_cols = [c for c in ["repo", "path", "commit", "lang"] if c in corpus.columns]
     doc_map = layout.select("doc_shard", "doc_id", *meta_cols, "content_sha256")
-    storage.write(doc_map, "doc_map", partition_shards=True)
 
     # --- per-(doc, field) stats.  dl via regexp_count: counts token runs
     # WITHOUT materializing a token array (a JVM split would allocate one
@@ -496,15 +595,36 @@ def build_index(
         "doc_shard", "doc_id",
         F.col("_fd.field").alias("field"), F.col("_fd.dl").alias("dl"),
     )
-    storage.write(doc_stats, "doc_stats", partition_shards=True)
-
     # --- pack postings per shard (tokenize + tf + encode in the kernel) ---
     packed = layout.select(
         "doc_shard", "doc_id", *config.fields
-    ).groupBy("doc_shard").applyInPandas(
-        _make_packer(config.block_size, config.fields), schema=POSTINGS_SCHEMA
+    ).groupBy("doc_shard").applyInArrow(
+        _make_packer_arrow(config.block_size, config.fields),
+        schema=POSTINGS_SCHEMA,
     )
-    storage.write(packed, "postings", partition_shards=True)
+
+    # --- submit the three independent writes as CONCURRENT Spark jobs.
+    # They share the cached `layout` (the block manager's per-partition
+    # locks make concurrent materialization compute-once) and write to
+    # disjoint tables, so ordering between them is immaterial.  The win is
+    # wall-clock, not CPU: each write's driver-side commit (output listing
+    # + rename, or an object-store multipart commit on a real cluster) is
+    # serial latency that otherwise adds up across tables — overlapping it
+    # under the long-pole postings kernel removes a fixed ~seconds residue
+    # per build, which is precisely the non-scaling term in the N→4N
+    # efficiency measurements (BASELINE.md's per-phase decomposition).
+    # Concurrent job submission from driver threads is the standard Spark
+    # pattern for this (scheduler pools); exceptions propagate via result().
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(storage.write, packed, "postings", partition_shards=True),
+            pool.submit(storage.write, doc_map, "doc_map", partition_shards=True),
+            pool.submit(storage.write, doc_stats, "doc_stats", partition_shards=True),
+        ]
+        for f in futs:
+            f.result()
     corpus = layout  # built_shards query below reuses the cached layout
 
     # --- global aggregates (tiny: one row per term / one row total) ---

@@ -46,11 +46,18 @@ def tokenize_series(s: pd.Series) -> pd.Series:
     return s.fillna("").map(tokenize_text)
 
 
-def tokenize_flat(s: pd.Series):
+def tokenize_flat(s):
     """Batch tokenizer for the pack kernel: ``(flat_tokens, lens)`` where
     ``flat_tokens`` holds every row's tokens concatenated in row order
     (``pyarrow.Array`` on the fast path, numpy object array on the
     fallback) and ``lens`` is each row's token count (int64).
+
+    Accepts a pandas Series OR a ``pyarrow`` (Chunked)Array.  The Arrow
+    form is the zero-copy hot path: ``applyInArrow`` hands the kernel the
+    raw Arrow buffers Spark shipped, and the content bytes are never
+    materialized as Python/pandas string objects at all (at ~10 KB/doc the
+    pandas detour was a full extra copy of the corpus per batch — pure
+    memory-bandwidth tax, the binding resource at high parallelism).
 
     Token-for-token identical to ``tokenize_series`` (property-pinned in
     tests/test_tokenizer.py): ASCII batches run Arrow's RE2
@@ -66,8 +73,16 @@ def tokenize_flat(s: pd.Series):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    filled = s.fillna("").astype(str)
-    arr = pa.Array.from_pandas(filled, type=pa.string())
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    if isinstance(s, pa.Array):
+        arr = pc.fill_null(s, "")
+        if not pa.types.is_string(arr.type):
+            arr = pc.cast(arr, pa.string())
+        filled = None  # scalar fallback reads arr[i].as_py()
+    else:
+        filled = s.fillna("").astype(str)
+        arr = pa.Array.from_pandas(filled, type=pa.string())
     ascii_mask = pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)
     all_ascii = bool(ascii_mask.all())
     lower = pc.ascii_lower(arr) if all_ascii else pc.utf8_lower(arr)
@@ -87,7 +102,8 @@ def tokenize_flat(s: pd.Series):
     per_row = np.split(flat.to_numpy(zero_copy_only=False),
                        np.cumsum(lens)[:-1])
     for i in np.flatnonzero(~ascii_mask):
-        per_row[i] = np.asarray(tokenize_text(filled.iloc[i]), dtype=object)
+        raw = arr[i].as_py() if filled is None else filled.iloc[i]
+        per_row[i] = np.asarray(tokenize_text(raw), dtype=object)
         lens[i] = per_row[i].size
     total = int(lens.sum())
     if total == 0:
