@@ -45,7 +45,6 @@ import uuid
 from typing import Iterable, List, Optional
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -112,46 +111,27 @@ def _pa_list_int64(values: np.ndarray, offsets: np.ndarray):
     )
 
 
-def _pack_occurrences(
-    shard: int, codes, uniq_terms, doc_ids, dls, positions, block_size: int
-) -> pd.DataFrame:
-    """Encode raw token OCCURRENCES into one posting row per term.
-
-    Input: one entry per token occurrence — its term as a code into the
-    LEXICOGRAPHICALLY SORTED ``uniq_terms`` (the caller factorizes:
-    Arrow ``dictionary_encode`` + an argsort of the uniques only — a C++
-    hash pass over the occurrence stream; ``pd.factorize`` hashed the
-    same stream through Python string objects and ``np.unique`` would
-    comparison-sort every occurrence), plus doc_id, dl, and position
-    within the doc's field token stream.  Everything — tf aggregation,
-    delta-gap, varbyte, positions, block-max — is computed with batched
-    numpy over the whole shard at once; the only per-term Python work is
-    slicing the pre-encoded byte stream
-    (``codec.varbyte_encode_segments``).  This replaces the round-1
-    per-term interpreter loop that bounded build CPU.
-    """
-    import pyarrow as pa
-
-    cols = [f.name for f in POSTINGS_SCHEMA.fields]
-    if codes.size == 0:
-        return pd.DataFrame(columns=cols)
-    tbl = _pack_occurrences_table(
-        shard, codes, pa.array(uniq_terms, type=pa.string()),
-        doc_ids, dls, positions, block_size,
-    )
-    return tbl.to_pandas()
-
-
 def _pack_occurrences_table(
     shard: int, codes, terms_sorted, doc_ids, dls, positions, block_size: int
 ):
-    """Arrow-native core of :func:`_pack_occurrences`: same numpy math, but
-    the output is a ``pyarrow.Table`` whose binary/list columns are built
-    zero-copy over the encoder's contiguous streams (``terms_sorted`` is the
-    lexicographically sorted term dictionary as a ``pyarrow.Array``).  The
-    pandas form paid one Python ``bytes`` + six ``tolist()`` per term plus a
-    pandas->Arrow re-conversion per batch — all pure overhead on the
-    kernel's output side."""
+    """Encode raw token OCCURRENCES into one posting row per term,
+    returned as a ``pyarrow.Table``.
+
+    Input: one entry per token occurrence — its term as a code into the
+    LEXICOGRAPHICALLY SORTED ``terms_sorted`` dictionary (the caller
+    factorizes: Arrow ``dictionary_encode`` + an argsort of the uniques
+    only — a C++ hash pass over the occurrence stream; ``pd.factorize``
+    hashed the same stream through Python string objects and
+    ``np.unique`` would comparison-sort every occurrence), plus doc_id,
+    dl, and position within the doc's field token stream.  Everything —
+    tf aggregation, delta-gap, varbyte, positions, block-max — is
+    computed with batched numpy over the whole shard at once (this
+    replaced the round-1 per-term interpreter loop that bounded build
+    CPU), and the output binary/list columns are built zero-copy over
+    the encoder's contiguous streams (``codec.varbyte_encode_stream``) —
+    an earlier pandas form paid one Python ``bytes`` + six ``tolist()``
+    per term plus a pandas->Arrow re-conversion per batch, all pure
+    overhead on the kernel's output side."""
     import pyarrow as pa
 
     n = codes.size
@@ -253,9 +233,12 @@ def _pack_occurrences_table(
     )
 
 
-def _make_packer(block_size: int, fields: tuple = ("content",)):
-    """Grouped-map packer over RAW FIELD TEXT: one call per doc_shard with
-    rows (doc_shard, doc_id, <field columns...>).
+def _make_packer_arrow(block_size: int, fields: tuple = ("content",)):
+    """Arrow-native grouped-map packer (``applyInArrow``) — the build hot
+    path: one call per doc_shard with rows (doc_shard, doc_id,
+    <field columns...>) arriving as a ``pyarrow.Table`` (the buffers Spark
+    shipped — no pandas string materialization; at ~10 KB of content per
+    doc that detour re-copied the whole corpus per batch).
 
     Tokenization AND tf aggregation happen here, inside the Python worker:
     - Arrow ships raw content bytes (5-10x smaller than an exploded token
@@ -264,32 +247,11 @@ def _make_packer(block_size: int, fields: tuple = ("content",)):
       realistic file sizes that allocation storm hits a GC wall that stops
       scaling past ~8 threads in one JVM, while Python workers are separate
       processes that tokenize embarrassingly parallel.
-    - the tokenizer is the literal shared `tokenize_series` (oracle parity
-      by construction, SURVEY §2.8-T1).
+    - the tokenizer is token-for-token the shared `tokenize_series`
+      (parity property-pinned, SURVEY §2.8-T1).
     dl is the per-(doc, field) token count; non-default fields are stored
     prefix-composite ("field:token"), so each (term, doc) has exactly one dl.
     """
-    pack_arrow = _make_packer_arrow(block_size, fields)
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow as pa
-
-        if pdf.empty:
-            return pd.DataFrame(
-                columns=[f.name for f in POSTINGS_SCHEMA.fields]
-            )
-        return pack_arrow(pa.Table.from_pandas(pdf)).to_pandas()
-
-    return pack
-
-
-def _make_packer_arrow(block_size: int, fields: tuple = ("content",)):
-    """Arrow-native grouped-map packer (``applyInArrow`` form) — the build
-    hot path.  Identical semantics to :func:`_make_packer`; the difference
-    is purely mechanical: the group arrives as a ``pyarrow.Table`` (the
-    buffers Spark shipped, no pandas string materialization — at ~10 KB of
-    content per doc the pandas detour re-copied the whole corpus per batch)
-    and the output is built zero-copy over the encoder's streams."""
     from archivesspace_virgo_spark.tokenizer import tokenize_flat
 
     default = fields[0]

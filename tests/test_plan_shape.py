@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from archivesspace_virgo_spark.config import IndexConfig
 from archivesspace_virgo_spark.corpus import load_documents_as_corpus, with_content_sha
-from archivesspace_virgo_spark.index.build import _make_packer, tokenized
+from archivesspace_virgo_spark.index.build import _make_packer_arrow, tokenized
 from archivesspace_virgo_spark.index.storage import POSTINGS_SCHEMA
 
 from tests.conftest import SF_SMOKE
@@ -35,10 +35,12 @@ def _build_fragments(spark, cfg):
         "doc_shard", (F.col("doc_id") / F.lit(cfg.docs_per_shard)).cast("int")
     )
     layout = corpus.repartition(8, "doc_shard")
+    # same grouped-map fragment build_index runs (applyInArrow — the
+    # production path; the exchange count must be pinned on THAT plan)
     packed = layout.select(
         "doc_shard", "doc_id", *cfg.fields
-    ).groupBy("doc_shard").applyInPandas(
-        _make_packer(cfg.block_size, cfg.fields), schema=POSTINGS_SCHEMA
+    ).groupBy("doc_shard").applyInArrow(
+        _make_packer_arrow(cfg.block_size, cfg.fields), schema=POSTINGS_SCHEMA
     )
     stats = tokenized(layout, cfg).select(
         "doc_shard", "doc_id", "field", F.size("toks").alias("dl")
