@@ -873,7 +873,7 @@ GROUP BY lang
 SELECT doc_id, lang, 'doc/' || CAST(doc_id AS VARCHAR) AS path
 FROM documents
 WHERE len(list_intersect({_TOKS}, ['table'])) > 0
-ORDER BY lang ASC, path DESC, doc_id ASC
+ORDER BY lang ASC NULLS FIRST, path DESC NULLS LAST, doc_id ASC
 LIMIT {K}
 """
 

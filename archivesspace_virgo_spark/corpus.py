@@ -81,12 +81,14 @@ def range_bucket_column(df: DataFrame, keys, num_partitions: int,
                      if 0 < int(i * step) < len(vals)})
     if not bounds:
         return F.lit(0), 1
-    k = (F.col(keys[0]) if len(keys) == 1
-         else F.struct(*[F.col(c) for c in keys]))
+    # ALWAYS compare as a struct, even for one key: Spark's bare `col < lit`
+    # yields NULL for NULL keys (F.when treats it as false → last bucket),
+    # while struct comparison orders a NULL field FIRST — the same
+    # nulls-first order the downstream Window.orderBy(asc) uses, keeping
+    # the bucket id monotone in the sort order for NULL keys too
+    k = F.struct(*[F.col(c) for c in keys])
 
     def lit_key(b):
-        if len(keys) == 1:
-            return F.lit(b[0])
         return F.struct(*[F.lit(v).alias(c) for v, c in zip(b, keys)])
 
     def build(lo: int, hi: int):

@@ -269,7 +269,6 @@ def lucene_sloppy_freq_repeats(adjusted, terms, slop: int) -> float:
     def advance_rpts(i0: int) -> bool:
         if rpt_group[i0] < 0:
             return True
-        g = rpt_group[i0]
         k0 = rpt_ind[i0]
         bits = set()
         i = i0
@@ -295,7 +294,6 @@ def lucene_sloppy_freq_repeats(adjusted, terms, slop: int) -> float:
                     bits.discard(rpt_ind[j2])
             for j2 in reversed(stack):
                 _hq.heappush(heap, (pos[j2], j2))
-        _ = g
         return True
 
     freq = 0.0

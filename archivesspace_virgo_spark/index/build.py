@@ -279,8 +279,6 @@ def _make_packer_arrow(block_size: int, fields: tuple = ("content",)):
             starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
             pos_parts.append(np.arange(total, dtype=np.int64)
                              - np.repeat(starts, lens))
-            if not isinstance(flat, pa.Array):  # unicode fallback path
-                flat = pa.array(flat, type=pa.string())
             if f != default:
                 # prefix-composite terms, vectorized over the FLAT token
                 # array (one Arrow element-wise join, no per-row loop)

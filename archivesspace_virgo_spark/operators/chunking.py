@@ -129,7 +129,16 @@ def pack_linear(df: DataFrame, id_col: str, text_col: str,
     single-partition exchange, so the packing scales with the cluster
     instead of serializing on one task.  The bin assignment is independent
     of how the boundary sample fell — the bucket id is monotone in
-    ``order``, so the composed prefix sum is the exact global one."""
+    ``order``, so the composed prefix sum is the exact global one.
+
+    Determinism contract: the baked boundaries make the bucket-assignment
+    FUNCTION deterministic, not the input row SET.  The totals job and
+    the window job each re-evaluate ``df``'s lineage; a nondeterministic
+    source (an unseeded ``.sample()``, a non-idempotent UDF, an unstable
+    limit) can hand the two phases different rows, yielding offsets that
+    describe rows phase 2 never sees.  Pipe such sources through a
+    materialization (write/read, ``localCheckpoint``) first — same
+    contract as every multi-job consumer of a nondeterministic plan."""
     if budget <= 0:
         raise ValueError("budget must be positive")
     from archivesspace_virgo_spark.corpus import (
@@ -179,18 +188,20 @@ def pack_linear_sql(table: str, id_col: str, text_expr: str,
         f"len(list_filter(string_split_regex(lower({text_expr}), "
         f"'{TOKEN_SPLIT_PATTERN}'), t -> t <> ''))"
     )
+    extra = f", {order}" if order != id_col else ""
     return f"""
-WITH t AS (SELECT {id_col}, {toks} AS n_tokens FROM {table}),
+WITH t AS (SELECT {id_col}{extra}, {toks} AS n_tokens FROM {table}),
 c AS (
-  SELECT {id_col}, n_tokens,
-         sum(n_tokens) OVER (ORDER BY {order}
+  SELECT {id_col}{extra}, n_tokens,
+         sum(n_tokens) OVER (ORDER BY {order} NULLS FIRST
                              ROWS UNBOUNDED PRECEDING) AS cum
   FROM t
 )
 SELECT {id_col}, CAST(n_tokens AS INT) AS n_tokens,
        CAST((cum - n_tokens) // {budget} AS BIGINT) AS bin_id,
        CAST(row_number() OVER (
-           PARTITION BY (cum - n_tokens) // {budget} ORDER BY {order}
+           PARTITION BY (cum - n_tokens) // {budget}
+           ORDER BY {order} NULLS FIRST
        ) - 1 AS INT) AS offset_in_bin
 FROM c
 """

@@ -48,9 +48,9 @@ def tokenize_series(s: pd.Series) -> pd.Series:
 
 def tokenize_flat(s):
     """Batch tokenizer for the pack kernel: ``(flat_tokens, lens)`` where
-    ``flat_tokens`` holds every row's tokens concatenated in row order
-    (``pyarrow.Array`` on the fast path, numpy object array on the
-    fallback) and ``lens`` is each row's token count (int64).
+    ``flat_tokens`` is a ``pyarrow.Array`` holding every row's tokens
+    concatenated in row order and ``lens`` is each row's token count
+    (int64).
 
     Accepts a pandas Series OR a ``pyarrow`` (Chunked)Array.  The Arrow
     form is the zero-copy hot path: ``applyInArrow`` hands the kernel the
@@ -98,17 +98,32 @@ def tokenize_flat(s):
     flat = flat_all.filter(nonempty)
     if all_ascii:
         return flat, lens
-    # rare path: splice scalar-tokenized non-ASCII rows back in row order
-    per_row = np.split(flat.to_numpy(zero_copy_only=False),
-                       np.cumsum(lens)[:-1])
+    # rare path: splice scalar-tokenized non-ASCII rows back in row order.
+    # The ASCII rows' tokens stay zero-copy Arrow slices of ``flat`` — only
+    # the ~ascii rows' tokens become Python objects (an earlier form
+    # round-tripped the WHOLE batch through numpy object arrays whenever a
+    # single row was non-ASCII, paying the per-token-Python tax this
+    # function exists to avoid, for all rows)
+    starts = np.concatenate([[0], np.cumsum(lens)])  # pre-replacement spans
+    pieces = []
+    prev = 0  # first row whose ascii tokens are not yet emitted
     for i in np.flatnonzero(~ascii_mask):
+        if starts[i] > starts[prev]:
+            pieces.append(flat.slice(int(starts[prev]),
+                                     int(starts[i] - starts[prev])))
         raw = arr[i].as_py() if filled is None else filled.iloc[i]
-        per_row[i] = np.asarray(tokenize_text(raw), dtype=object)
-        lens[i] = per_row[i].size
-    total = int(lens.sum())
-    if total == 0:
-        return np.empty(0, dtype=object), lens
-    return np.concatenate([p for p in per_row if p.size]), lens
+        toks = tokenize_text(raw)
+        lens[i] = len(toks)
+        if toks:
+            pieces.append(pa.array(toks, type=pa.string()))
+        prev = i + 1
+    if starts[-1] > starts[prev]:
+        pieces.append(flat.slice(int(starts[prev]),
+                                 int(starts[-1] - starts[prev])))
+    pieces = [p for p in pieces if len(p)]
+    if not pieces:
+        return pa.array([], type=pa.string()), lens
+    return (pa.concat_arrays(pieces) if len(pieces) > 1 else pieces[0]), lens
 
 
 def tokens_column(col: Column | str) -> Column:

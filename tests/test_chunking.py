@@ -143,3 +143,55 @@ def test_pack_linear_order_col_and_partition_counts(docs, con):
                              num_partitions=64).collect()
     )
     assert a == b and len(got) == len(a)
+
+
+def test_pack_linear_null_order_keys(docs, con, spark):
+    """NULL order keys sort FIRST (Spark asc = nulls first; the bucket
+    expression must agree — a bare `col < lit` comparison would silently
+    route NULL keys to the LAST bucket while the window sorts them first,
+    corrupting the global prefix sum).  Pinned against the DuckDB twin,
+    which pins NULLS FIRST explicitly."""
+    d = docs.withColumn(
+        "ts", F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+               .otherwise(F.col("doc_id") + 1000)
+    )
+    d.createOrReplaceTempView("_nullkey_docs")
+    con.execute(
+        "CREATE OR REPLACE VIEW nullkey_docs AS "
+        "SELECT *, CASE WHEN doc_id % 7 = 0 THEN NULL "
+        "ELSE doc_id + 1000 END AS ts FROM documents"
+    )
+    # NULL ties are broken arbitrarily WITHIN the null group, so pin the
+    # per-doc (n_tokens, bin_id) only for non-null rows plus the aggregate
+    # shape of the null group (its docs must occupy the stream's head)
+    rows = pack_linear(d, "doc_id", "text", 512, order_col="ts",
+                       num_partitions=5).collect()
+    exp = con.execute(
+        pack_linear_sql("nullkey_docs", "doc_id", "text", 512,
+                        order_col="ts")
+    ).fetchall()
+    # (offset_in_bin is excluded: in the one bin straddling the null-run
+    # boundary it depends on WHICH null docs the arbitrary tie-break put
+    # there; bin_id of every non-null doc is fully determined)
+    got_nn = sorted((r["doc_id"], r["n_tokens"], r["bin_id"])
+                    for r in rows if r["doc_id"] % 7 != 0)
+    exp_nn = sorted((int(a), int(b), int(c))
+                    for a, b, c, _o in exp if a % 7 != 0)
+    assert got_nn == exp_nn
+    # within a bin, non-null docs appear in ts order
+    by_bin = {}
+    for r in rows:
+        if r["doc_id"] % 7 != 0:
+            by_bin.setdefault(r["bin_id"], []).append(
+                (r["offset_in_bin"], r["doc_id"] + 1000))
+    for items in by_bin.values():
+        items.sort()
+        assert [t for _, t in items] == sorted(t for _, t in items)
+    null_tok = sum(r["n_tokens"] for r in rows if r["doc_id"] % 7 == 0)
+    # every null-key doc starts before any non-null doc: max bin of the
+    # null group <= bin containing the null group's last token
+    max_null_bin = max(r["bin_id"] for r in rows if r["doc_id"] % 7 == 0)
+    assert max_null_bin <= (null_tok - 1) // 512
+    min_nonnull_start = min((r["bin_id"] for r in rows
+                             if r["doc_id"] % 7 != 0))
+    assert min_nonnull_start >= null_tok // 512 - 1
