@@ -221,3 +221,169 @@ class MultiIndexEngine:
             .select(group_field, "rank_in_group", "index_id", "doc_id",
                     "score")
         )
+
+    # --- generic scored fan-out: the SolrCloud two-phase contract every
+    # scored surface shares — each member returns its own top-(k+offset)
+    # under its OWN corpus stats (the per-shard-idf distributed default,
+    # same as `search`), and the merge is ONE TakeOrdered over
+    # ≤ |members|·(k+offset) rows.  No postings move; global offset is
+    # applied at the merge (members are asked for offset 0). ---
+    def _scored(self, method: str, k: int, offset: int, *args, **kw):
+        parts = [
+            self._tagged(lab, getattr(e, method)(*args, k=k + offset, **kw))
+            for lab, e in zip(self.labels, self.engines)
+        ]
+        u = reduce(DataFrame.unionByName, parts)
+        ordered = u.orderBy(F.desc("score"), F.asc("index_id"),
+                            F.asc("doc_id"))
+        if offset:
+            ordered = ordered.offset(offset)
+        return ordered.limit(k)
+
+    def query(self, q: str, k: int = 10, offset: int = 0,
+              **kw) -> DataFrame:
+        """Distributed Lucene standard-syntax query string (the main Solr
+        q= surface over an alias): each member parses + dispatches + scores
+        the SAME string locally (multi-term clauses expand against each
+        member's own lexicon, exactly as every SolrCloud shard rewrites
+        against its own terms), merged by (score, index_id, doc_id)."""
+        return self._scored("query", k, offset, q, **kw)
+
+    def boolean_search(self, clauses, k: int = 10, offset: int = 0,
+                       **kw) -> DataFrame:
+        """Distributed BooleanQuery (AND of OR-clauses) over the alias."""
+        return self._scored("boolean_search", k, offset, clauses, **kw)
+
+    def phrase_search(self, phrase, k: int = 10, offset: int = 0,
+                      **kw) -> DataFrame:
+        """Distributed exact PhraseQuery over the alias."""
+        return self._scored("phrase_search", k, offset, phrase, **kw)
+
+    def sloppy_phrase_search(self, phrase, slop: int = 0, k: int = 10,
+                             offset: int = 0, **kw) -> DataFrame:
+        """Distributed PhraseQuery slop (transpositions) over the alias."""
+        return self._scored("sloppy_phrase_search", k, offset, phrase,
+                            slop=slop, **kw)
+
+    def span_near_search(self, phrase, slop: int = 0, k: int = 10,
+                         offset: int = 0, **kw) -> DataFrame:
+        """Distributed ordered SpanNear over the alias."""
+        return self._scored("span_near_search", k, offset, phrase,
+                            slop=slop, **kw)
+
+    def prefix_search(self, prefix: str, k: int = 10, offset: int = 0,
+                      **kw) -> DataFrame:
+        """Distributed PrefixQuery (each member expands against its OWN
+        lexicon — the per-shard rewrite Lucene/SolrCloud applies)."""
+        return self._scored("prefix_search", k, offset, prefix, **kw)
+
+    def wildcard_search(self, pattern: str, k: int = 10, offset: int = 0,
+                        **kw) -> DataFrame:
+        """Distributed WildcardQuery over the alias."""
+        return self._scored("wildcard_search", k, offset, pattern, **kw)
+
+    def regexp_search(self, regex: str, k: int = 10, offset: int = 0,
+                      **kw) -> DataFrame:
+        """Distributed RegexpQuery over the alias."""
+        return self._scored("regexp_search", k, offset, regex, **kw)
+
+    def fuzzy_search(self, term: str, k: int = 10, offset: int = 0,
+                     **kw) -> DataFrame:
+        """Distributed FuzzyQuery over the alias."""
+        return self._scored("fuzzy_search", k, offset, term, **kw)
+
+    def term_range_search(self, lo, hi, k: int = 10, offset: int = 0,
+                          **kw) -> DataFrame:
+        """Distributed TermRangeQuery over the alias."""
+        return self._scored("term_range_search", k, offset, lo, hi, **kw)
+
+    def more_like_this(self, text: str, k: int = 10, **kw) -> DataFrame:
+        """Distributed MoreLikeThis: the seed's interesting terms are
+        selected per member (each member's own df, the same per-shard MLT
+        contract Solr's distributed mlt runs), scored locally, merged."""
+        return self._scored("more_like_this", k, 0, text, **kw)
+
+    def rerank(self, terms, rerank_phrase, k: int = 10, **kw) -> DataFrame:
+        """Distributed ReRank: each member reranks its OWN top window
+        (Solr's distributed reRank contract — the window is per shard),
+        merged by the combined score."""
+        return self._scored("rerank", k, 0, terms, rerank_phrase, **kw)
+
+    def highlight(self, terms, k: int = 10, **kw) -> DataFrame:
+        """Distributed highlighting: members return their top-k rows WITH
+        snippet windows; the merge keeps the global top-k."""
+        return self._scored("highlight", k, 0, terms, **kw)
+
+    def match_ids(self, terms, **kw) -> DataFrame:
+        """(index_id, doc_shard, doc_id) of every match across members —
+        the unranked union (no sort, no limit: the facet/stats primitive)."""
+        parts = [
+            self._tagged(lab, e.match_ids(terms, **kw))
+            for lab, e in zip(self.labels, self.engines)
+        ]
+        return reduce(DataFrame.unionByName, parts)
+
+    def facet_range(self, terms, start: int, end: int, gap: int,
+                    **kw) -> DataFrame:
+        """Distributed range facets: member buckets are complete partial
+        counts over disjoint docs — summed per bucket, no refinement
+        error."""
+        parts = [e.facet_range(terms, start, end, gap, **kw)
+                 for e in self.engines]
+        u = reduce(DataFrame.unionByName, parts)
+        return (u.groupBy("bucket_lo")
+                .agg(F.sum("facet_count").alias("facet_count"))
+                .orderBy("bucket_lo"))
+
+    def facet_pivot(self, terms, fields, **kw) -> DataFrame:
+        """Distributed pivot facets: summed per value combination, Solr's
+        count-desc ordering re-applied after the merge."""
+        parts = [e.facet_pivot(terms, fields, **kw) for e in self.engines]
+        u = reduce(DataFrame.unionByName, parts)
+        return (u.groupBy(*fields)
+                .agg(F.sum("facet_count").alias("facet_count"))
+                .orderBy(F.desc("facet_count"),
+                         *[F.asc(f) for f in fields]))
+
+    def stats_component(self, terms, **kw) -> DataFrame:
+        """Distributed stats component: count/min/max/sum are associative
+        partials; mean is recomputed as Σsum/Σcount (NOT averaged member
+        means — members match different numbers of docs)."""
+        parts = [e.stats_component(terms, **kw) for e in self.engines]
+        u = reduce(DataFrame.unionByName, parts)
+        return u.agg(
+            F.sum("stats_count").alias("stats_count"),
+            F.min("stats_min").alias("stats_min"),
+            F.max("stats_max").alias("stats_max"),
+            F.sum("stats_sum").alias("stats_sum"),
+            (F.sum("stats_sum") / F.sum("stats_count"))
+            .alias("stats_mean"),
+        )
+
+    def terms_component(self, prefix: str = "", n: int = 10,
+                        by_count: bool = True, **kw) -> DataFrame:
+        """Distributed terms component: per-member top-n merged by SUMMED
+        df.  Carries Solr's distributed TermsComponent contract including
+        its documented approximation (terms.limit applies per shard, so a
+        term ranked just below n on every member can be missed; raise n
+        for exhaustive merges)."""
+        parts = [e.terms_component(prefix, n=n, by_count=by_count, **kw)
+                 for e in self.engines]
+        u = reduce(DataFrame.unionByName, parts)
+        merged = u.groupBy("term").agg(F.sum("df").alias("df"))
+        order = ([F.desc("df"), F.asc("term")] if by_count
+                 else [F.asc("term")])
+        return merged.orderBy(*order).limit(n)
+
+    def suggest(self, term: str, n: int = 5, **kw) -> DataFrame:
+        """Distributed spellcheck suggestions: candidates merged by summed
+        df, re-ranked the DirectSpellChecker way (distance, df desc, term).
+        Same per-member-top-n containment caveat as ``terms_component`` —
+        the shard-merge contract of Solr's distributed spellcheck."""
+        parts = [e.suggest(term, n=n, **kw) for e in self.engines]
+        u = reduce(DataFrame.unionByName, parts)
+        return (u.groupBy("term", "distance")
+                .agg(F.sum("df").alias("df"))
+                .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+                .select("term", "df", "distance")
+                .limit(n))

@@ -208,3 +208,113 @@ def test_exact_stats_nested_member_raises(engines):
         nested.search(TERMS, k=5, exact_stats=True)
     # default contract still composes
     assert nested.search(TERMS, k=5).count() == 5
+
+
+# --- round-5: the full distributed query surface, each pinned against a
+# pure-Python merge of the members' own (oracle-pinned) results ---
+
+def _merged_topk(engines, labels, method, k, *args, **kw):
+    member = []
+    for lab, e in zip(labels, engines):
+        member += [(lab, r["doc_id"], round(r["score"], 6))
+                   for r in getattr(e, method)(*args, k=k, **kw).collect()]
+    member.sort(key=lambda t: (-t[2], t[0], t[1]))
+    return member[:k]
+
+
+@pytest.mark.parametrize("method,args,kw", [
+    ("query", ("value table",), {}),
+    ("query", ('"value table"~2',), {}),
+    ("query", ("val* -zzz spark",), {}),
+    ("boolean_search", ([["value"], ["table", "spark"]],), {}),
+    ("phrase_search", (["value", "table"],), {}),
+    ("sloppy_phrase_search", (["table", "value"],), {"slop": 2}),
+    ("span_near_search", (["value", "table"],), {"slop": 2}),
+    ("prefix_search", ("val*",), {}),
+    ("wildcard_search", ("va?ue",), {}),
+    ("regexp_search", ("val.e",), {}),
+    ("fuzzy_search", ("valua",), {}),
+    ("term_range_search", ("value", "values"), {}),
+])
+def test_distributed_scored_surfaces(engines, method, args, kw):
+    multi = MultiIndexEngine(engines, labels=["a", "b"])
+    got = _rows(getattr(multi, method)(*args, k=8, **kw))
+    exp = _merged_topk(engines, ["a", "b"], method, 8, *args, **kw)
+    assert got == exp and len(got) > 0
+
+
+def test_distributed_query_paging(engines):
+    multi = MultiIndexEngine(engines, labels=["a", "b"])
+    full = _rows(multi.query("value table", k=10))
+    page2 = _rows(multi.query("value table", k=5, offset=5))
+    assert page2 == full[5:]
+
+
+def test_distributed_mlt_and_rerank_and_highlight(engines):
+    multi = MultiIndexEngine(engines, labels=["a", "b"])
+    seed = "the value table stores window state"
+    got = _rows(multi.more_like_this(seed, k=6))
+    exp = _merged_topk(engines, ["a", "b"], "more_like_this", 6, seed)
+    assert got == exp and len(got) > 0
+    got_r = _rows(multi.rerank(["value", "table"], ["value", "table"],
+                               k=6, rerank_docs=20))
+    exp_r = _merged_topk(engines, ["a", "b"], "rerank", 6,
+                         ["value", "table"], ["value", "table"],
+                         rerank_docs=20)
+    assert got_r == exp_r and len(got_r) > 0
+    hl = multi.highlight(["value", "table"], k=5).collect()
+    assert 0 < len(hl) <= 5
+    assert {"index_id", "doc_id", "score", "snippet_start",
+            "snippet_end", "n_matched"} <= set(hl[0].asDict())
+
+
+def test_distributed_components_sum_members(engines):
+    multi = MultiIndexEngine(engines, labels=["a", "b"])
+    # match_ids union == sum of member counts
+    assert multi.match_ids(TERMS).count() == sum(
+        e.match_ids(TERMS).count() for e in engines)
+    # facet_range: summed per bucket
+    got = {r["bucket_lo"]: r["facet_count"]
+           for r in multi.facet_range(TERMS, 0, 400, 50).collect()}
+    exp = {}
+    for e in engines:
+        for r in e.facet_range(TERMS, 0, 400, 50).collect():
+            exp[r["bucket_lo"]] = exp.get(r["bucket_lo"], 0) + r["facet_count"]
+    assert got == exp and got
+    # facet_pivot: summed per (lang, repo)
+    gp = {(r["lang"], r["repo"]): r["facet_count"]
+          for r in multi.facet_pivot(TERMS, ["lang", "repo"]).collect()}
+    ep = {}
+    for e in engines:
+        for r in e.facet_pivot(TERMS, ["lang", "repo"]).collect():
+            key = (r["lang"], r["repo"])
+            ep[key] = ep.get(key, 0) + r["facet_count"]
+    assert gp == ep and gp
+    # stats: count/sum add, min/max compose, mean = Σsum/Σcount
+    s = multi.stats_component(TERMS).collect()[0]
+    ms = [e.stats_component(TERMS).collect()[0] for e in engines]
+    assert s["stats_count"] == sum(m["stats_count"] for m in ms)
+    assert s["stats_sum"] == sum(m["stats_sum"] for m in ms)
+    assert s["stats_min"] == min(m["stats_min"] for m in ms)
+    assert s["stats_max"] == max(m["stats_max"] for m in ms)
+    assert abs(s["stats_mean"] - s["stats_sum"] / s["stats_count"]) < 1e-9
+    # terms: summed df over the member unions, Solr shard-limit contract
+    tc = [(r["term"], r["df"])
+          for r in multi.terms_component("s", n=5).collect()]
+    union_df = {}
+    for e in engines:
+        for r in e.terms_component("s", n=5).collect():
+            union_df[r["term"]] = union_df.get(r["term"], 0) + r["df"]
+    exp_tc = sorted(union_df.items(), key=lambda t: (-t[1], t[0]))[:5]
+    assert tc == exp_tc and tc
+    # suggest: summed df, DirectSpellChecker order
+    sg = [(r["term"], r["df"], r["distance"])
+          for r in multi.suggest("valu", n=5).collect()]
+    u = {}
+    for e in engines:
+        for r in e.suggest("valu", n=5).collect():
+            t = (r["term"], r["distance"])
+            u[t] = u.get(t, 0) + r["df"]
+    exp_sg = sorted(((t, df, d) for (t, d), df in u.items()),
+                    key=lambda x: (x[2], -x[1], x[0]))[:5]
+    assert sg == exp_sg and sg
