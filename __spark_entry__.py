@@ -104,6 +104,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_rare"] = _q_bm25("or", TERMS_RARE)
     q["bm25_engine_topk"] = _q_bm25_engine(TERMS_OR)
 
+    def q_multi_alias(spark, sf_dir):
+        # distributed collection alias (SolrCloud two-phase): two REAL
+        # member indexes over disjoint halves (doc_id parity), global
+        # top-k = one TakeOrdered merge of member top-k, per-member stats
+        from archivesspace_virgo_spark.index.multi import MultiIndexEngine
+
+        key = ("multi_alias", sf_dir)
+        if key not in _ENGINE_CACHE:
+            cfg = IndexConfig(docs_per_shard=256)
+            corpus = load_documents_as_corpus(spark, sf_dir)
+            members = []
+            for name, rem in [("a", 0), ("b", 1)]:
+                d = tempfile.mkdtemp(prefix=f"avs_alias_{name}_")
+                build_index(
+                    spark, corpus.filter(F.col("doc_id") % 2 == rem), d, cfg
+                )
+                members.append(QueryEngine(spark, d, cfg))
+            _ENGINE_CACHE[key] = MultiIndexEngine(members, labels=["a", "b"])
+        res = _ENGINE_CACHE[key].search(TERMS_OR, k=K)
+        return res.select(
+            "index_id", "doc_id", _micro(F.col("score")).alias("score_micro")
+        )
+    q["multi_alias_topk"] = q_multi_alias
+
     def q_bm25_boost_exclude(spark, sf_dir):
         # Lucene BoostQuery + BooleanClause.MUST_NOT through the real engine
         # (q = spark^2 window merge -table): boost scales the term's idf so
@@ -781,6 +805,30 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk_and"] = bm25_micro(TERMS_AND, "and")
     o["bm25_topk_rare"] = bm25_micro(TERMS_RARE, "or")
     o["bm25_engine_topk"] = bm25_micro(TERMS_OR, "or")
+
+    # distributed alias: per-member BM25 (each half is its own corpus with
+    # its own N/avgdl/df — the per-shard-stats SolrCloud default), member
+    # top-k unioned, ONE global order on (score, index_id, doc_id).
+    # Ordering runs on the full-precision score; micro-rounding happens in
+    # the projection, mirroring the engine's merge-then-round.
+    half_a = bm25_oracle_sql(
+        TERMS_OR, k=K, mode="or",
+        table="(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+    )
+    half_b = bm25_oracle_sql(
+        TERMS_OR, k=K, mode="or",
+        table="(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+    )
+    o["multi_alias_topk"] = f"""
+SELECT index_id, doc_id, {micro('score')} AS score_micro
+FROM (
+  SELECT 'a' AS index_id, doc_id, score FROM ({half_a}) ta
+  UNION ALL
+  SELECT 'b' AS index_id, doc_id, score FROM ({half_b}) tb
+)
+ORDER BY score DESC, index_id ASC, doc_id ASC
+LIMIT {K}
+"""
     o["bm25_boost_exclude"] = bm25_micro(
         TERMS_OR, "or", boosts={"spark": 2.0}, exclude=["table"]
     )
