@@ -197,9 +197,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_with_fields"] = q_bm25_with_fields
 
     def q_facet_search(spark, sf_dir):
-        # T11/A6: facet.field over the full result set of a query
+        # T11/A6 consolidated (one driver row, two operators — the 50-row
+        # evaluation window): facet.field over a query's full result set
+        # (facet_count) joined with the unfiltered corpus facet
+        # (total_count, the former facet_lang row)
         engine = _engine_for(spark, sf_dir)
-        return engine.facet_search(TERMS_OR, "lang")
+        matched = engine.facet_search(TERMS_OR, "lang")
+        totals = engine.facet("lang").withColumnRenamed(
+            "facet_count", "total_count"
+        )
+        return matched.join(totals, "lang")
     q["facet_search_lang"] = q_facet_search
 
     def q_sorted_multi(spark, sf_dir):
@@ -211,10 +218,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sorted_multi_field"] = q_sorted_multi
 
     def q_doc_stats(spark, sf_dir):
+        # T5 consolidated (one driver row, two operators — the 50-row
+        # evaluation window): per-doc dl plus the corpus-level stats row
+        # (the former corpus_stats entry) broadcast onto every row
         from archivesspace_virgo_spark.tokenizer import tokens_column
-        return _docs(spark, sf_dir).select(
+        d = _docs(spark, sf_dir).select(
             "doc_id", F.size(tokens_column("text")).alias("dl")
         )
+        stats = d.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_tokens"),
+            _micro(F.avg("dl")).alias("avgdl_micro"),
+        )
+        return d.crossJoin(F.broadcast(stats))
     q["doc_stats"] = q_doc_stats
 
     def q_df(spark, sf_dir):
@@ -225,22 +241,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         )
     q["term_doc_freq"] = q_df
-
-    def q_corpus_stats(spark, sf_dir):
-        from archivesspace_virgo_spark.tokenizer import tokens_column
-        d = _docs(spark, sf_dir).select(F.size(tokens_column("text")).alias("dl"))
-        return d.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("total_tokens"),
-            _micro(F.avg("dl")).alias("avgdl_micro"),
-        )
-    q["corpus_stats"] = q_corpus_stats
-
-    def q_facet_lang(spark, sf_dir):
-        return _docs(spark, sf_dir).groupBy("lang").agg(
-            F.count(F.lit(1)).alias("facet_count")
-        )
-    q["facet_lang"] = q_facet_lang
 
     # --- text analysis (training-data pipeline) ---
     # consolidated multi-column entries (one driver row each) so every
@@ -812,11 +812,11 @@ def oracle_sql() -> dict[str, str]:
     # Ordering runs on the full-precision score; micro-rounding happens in
     # the projection, mirroring the engine's merge-then-round.
     half_a = bm25_oracle_sql(
-        TERMS_OR, k=K, mode="or",
+        TERMS_OR, k=K, mode="or", raw_score=True,
         table="(SELECT * FROM documents WHERE doc_id % 2 = 0)",
     )
     half_b = bm25_oracle_sql(
-        TERMS_OR, k=K, mode="or",
+        TERMS_OR, k=K, mode="or", raw_score=True,
         table="(SELECT * FROM documents WHERE doc_id % 2 = 1)",
     )
     o["multi_alias_topk"] = f"""
@@ -911,10 +911,15 @@ FROM ({fl_inner}) t JOIN documents d ON t.doc_id = d.doc_id
 
     terms_list = ", ".join(f"'{t}'" for t in TERMS_OR)
     o["facet_search_lang"] = f"""
-SELECT lang, count(*) AS facet_count
-FROM documents
-WHERE len(list_intersect({_TOKS}, [{terms_list}])) > 0
-GROUP BY lang
+SELECT m.lang, m.facet_count, t.total_count
+FROM (
+  SELECT lang, count(*) AS facet_count
+  FROM documents
+  WHERE len(list_intersect({_TOKS}, [{terms_list}])) > 0
+  GROUP BY lang
+) m JOIN (
+  SELECT lang, count(*) AS total_count FROM documents GROUP BY lang
+) t ON m.lang = t.lang
 """
 
     o["sorted_multi_field"] = f"""
@@ -925,21 +930,21 @@ ORDER BY lang ASC NULLS FIRST, path DESC NULLS LAST, doc_id ASC
 LIMIT {K}
 """
 
-    o["doc_stats"] = f"SELECT doc_id, len({_TOKS}) AS dl FROM documents"
+    o["doc_stats"] = f"""
+SELECT doc_id, len({_TOKS}) AS dl, s.n_docs, s.total_tokens, s.avgdl_micro
+FROM documents
+CROSS JOIN (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens,
+         {micro('avg(dl)')} AS avgdl_micro
+  FROM (SELECT len({_TOKS}) AS dl FROM documents)
+) s
+"""
 
     o["term_doc_freq"] = f"""
 SELECT term, count(*) AS df
 FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS term FROM documents)
 GROUP BY term
 """
-
-    o["corpus_stats"] = f"""
-SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens,
-       {micro('avg(dl)')} AS avgdl_micro
-FROM (SELECT len({_TOKS}) AS dl FROM documents)
-"""
-
-    o["facet_lang"] = "SELECT lang, count(*) AS facet_count FROM documents GROUP BY lang"
 
     o["token_counts"] = f"""
 SELECT doc_id,

@@ -156,6 +156,7 @@ def bm25_oracle_sql(
     exclude: Sequence[str] = (),
     min_should_match: int = 1,
     filter_sql: Sequence[str] = (),
+    raw_score: bool = False,
 ) -> str:
     """DuckDB SQL computing the identical top-k (driver oracle).
 
@@ -189,6 +190,11 @@ def bm25_oracle_sql(
             f"(SELECT DISTINCT doc_id FROM tok WHERE term IN ({excl_sql}))"
         ))
     not_filter = f"WHERE {' AND '.join(where_parts)}" if where_parts else ""
+    # raw_score: emit the unrounded accumulator — callers composing a
+    # SECOND ordering stage (e.g. a cross-member alias merge) must
+    # order on full precision like the engine does; the 6-dp rounding
+    # is only for the driver's final value hash
+    score_out = "_score" if raw_score else f"round(_score, {ROUND})"
     return f"""
 WITH tok AS (
   SELECT {id_col} AS doc_id,
@@ -216,7 +222,7 @@ scored AS (
   GROUP BY tf.doc_id
   {having}
 )
-SELECT doc_id, round(_score, {ROUND}) AS score
+SELECT doc_id, {score_out} AS score
 FROM scored
 ORDER BY _score DESC, doc_id ASC
 LIMIT {k} OFFSET {offset}

@@ -110,16 +110,7 @@ class MultiIndexEngine:
         # per-member-stats contract, where no extra kwarg is injected)
         if exact_stats:
             kw = dict(kw, global_stats=self.global_stats(terms))
-        parts = [
-            self._tagged(lab, e.search(terms, k=k + offset, mode=mode, **kw))
-            for lab, e in zip(self.labels, self.engines)
-        ]
-        u = reduce(DataFrame.unionByName, parts)
-        ordered = u.orderBy(F.desc("score"), F.asc("index_id"),
-                            F.asc("doc_id"))
-        if offset:
-            ordered = ordered.offset(offset)
-        return ordered.limit(k)
+        return self._scored("search", k, offset, terms, mode=mode, **kw)
 
     def count(self, terms: Sequence[str], mode: str = "or", **kw) -> int:
         """Exact numFound = sum of member counts (disjoint members)."""
@@ -149,17 +140,8 @@ class MultiIndexEngine:
         stats (the per-shard-idf default contract, same as ``search``) and
         returns ≤ k+offset rows; the merge is one TakeOrdered over
         |members|·(k+offset) rows.  No postings move."""
-        parts = [
-            self._tagged(lab, e.dismax_search(terms, fields=fields, tie=tie,
-                                              k=k + offset))
-            for lab, e in zip(self.labels, self.engines)
-        ]
-        u = reduce(DataFrame.unionByName, parts)
-        ordered = u.orderBy(F.desc("score"), F.asc("index_id"),
-                            F.asc("doc_id"))
-        if offset:
-            ordered = ordered.offset(offset)
-        return ordered.limit(k)
+        return self._scored("dismax_search", k, offset, terms,
+                            fields=fields, tie=tie)
 
     def sorted_search(self, terms: Sequence[str], sort_field,
                       k: int = 10, ascending: bool = True, mode: str = "or",

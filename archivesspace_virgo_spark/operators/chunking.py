@@ -160,8 +160,16 @@ def pack_linear(df: DataFrame, id_col: str, text_col: str,
         for r in part.groupBy("_pid").agg(F.sum("n_tokens").alias("_tok")).collect()
     }
     offsets_df = prefix_sum_offsets(df.sparkSession, totals, n_buckets)
-    # phase 2: partition-local running sum + the broadcast global offset
-    wp = Window.partitionBy("_pid").orderBy(order)
+    # phase 2: partition-local running sum + the broadcast global offset.
+    # ROWS frame explicitly: Spark's default frame for an ordered window
+    # is RANGE, under which TIED order keys (e.g. NULL keys, duplicate
+    # timestamps) all receive the PEAK cumulative sum of their tie group —
+    # every tied doc would land in the tie group's last bin, leaving
+    # earlier bins empty.  ROWS gives each row its own running total (ties
+    # broken arbitrarily but linearly), matching the SQL twin's
+    # ROWS UNBOUNDED PRECEDING.
+    wp = (Window.partitionBy("_pid").orderBy(order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     d = (
         part.join(offsets_df, "_pid")
         .withColumn("_cum", F.sum("n_tokens").over(wp) + F.col("_offset"))

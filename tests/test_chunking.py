@@ -145,7 +145,7 @@ def test_pack_linear_order_col_and_partition_counts(docs, con):
     assert a == b and len(got) == len(a)
 
 
-def test_pack_linear_null_order_keys(docs, con, spark):
+def test_pack_linear_null_order_keys(docs, con):
     """NULL order keys sort FIRST (Spark asc = nulls first; the bucket
     expression must agree — a bare `col < lit` comparison would silently
     route NULL keys to the LAST bucket while the window sorts them first,
@@ -155,7 +155,6 @@ def test_pack_linear_null_order_keys(docs, con, spark):
         "ts", F.when(F.col("doc_id") % 7 == 0, F.lit(None))
                .otherwise(F.col("doc_id") + 1000)
     )
-    d.createOrReplaceTempView("_nullkey_docs")
     con.execute(
         "CREATE OR REPLACE VIEW nullkey_docs AS "
         "SELECT *, CASE WHEN doc_id % 7 = 0 THEN NULL "
@@ -195,3 +194,7 @@ def test_pack_linear_null_order_keys(docs, con, spark):
     min_nonnull_start = min((r["bin_id"] for r in rows
                              if r["doc_id"] % 7 != 0))
     assert min_nonnull_start >= null_tok // 512 - 1
+    # ROWS-frame regression (RANGE would give every NULL-tie doc the tie
+    # group's PEAK cumsum -> all in the last bin, bin 0 empty): the null
+    # run must start filling at bin 0
+    assert min(r["bin_id"] for r in rows if r["doc_id"] % 7 == 0) == 0

@@ -214,12 +214,15 @@ def test_exact_stats_nested_member_raises(engines):
 # pure-Python merge of the members' own (oracle-pinned) results ---
 
 def _merged_topk(engines, labels, method, k, *args, **kw):
+    # sort on the FULL-precision score (the engine's merge key); round only
+    # for the comparison afterwards — rounding first could flip an order
+    # the engine resolves by true score
     member = []
     for lab, e in zip(labels, engines):
-        member += [(lab, r["doc_id"], round(r["score"], 6))
+        member += [(lab, r["doc_id"], r["score"])
                    for r in getattr(e, method)(*args, k=k, **kw).collect()]
     member.sort(key=lambda t: (-t[2], t[0], t[1]))
-    return member[:k]
+    return [(lab, d, round(s, 6)) for lab, d, s in member[:k]]
 
 
 @pytest.mark.parametrize("method,args,kw", [
