@@ -240,6 +240,15 @@ def _make_shard_scorer(
         contribs = {}  # term index -> (local, contrib) for deterministic re-sum
         theta = -np.inf
         multi = len(present) > 1
+        # candidate docs tracked INCREMENTALLY (first touch appends once):
+        # the theta refresh and the prune path cost O(candidates), not a
+        # dense O(docs_per_shard) scan per term — for rare-term queries on
+        # big shards the dense rescans dominated the actual scatter work.
+        # Exactness: the k-th LARGEST over the touched docs' scores equals
+        # the old scores[scores > 0] form whenever it prunes (a theta that
+        # could prune is > total_rem >= 0, so non-positive touched scores
+        # can never displace the top k).
+        cand_parts: list = []
         for i, t in order_by_ub:
             row = by_term[t]
             prune = flat_or and total_rem < theta
@@ -248,7 +257,10 @@ def _make_shard_scorer(
                 # change the scores of docs already seen under an essential
                 # term — decode ONLY the blocks whose doc range intersects
                 # the candidate set (random access via per-block offsets)
-                cand = np.flatnonzero(seen > 0)
+                if len(cand_parts) > 1:
+                    cand_parts = [np.concatenate(cand_parts)]
+                cand = np.sort(cand_parts[0]) if cand_parts else \
+                    np.empty(0, dtype=np.int64)
                 cand_docs = cand + base
                 last = np.asarray(row.block_last_doc, dtype=np.int64)
                 lo = np.empty_like(last)
@@ -278,6 +290,11 @@ def _make_shard_scorer(
                 keep = ~excluded[local]
                 local, tfs, dls = local[keep], tfs[keep], dls[keep]
             contrib = idfs[i] * tfs / (tfs + k1 * (1.0 - b + b * dls / avgdls[i]))
+            # first-touch docs join the candidate list exactly once
+            # (postings are unique per term, so `local` has no duplicates)
+            newly = local[seen[local] == 0]
+            if newly.size:
+                cand_parts.append(newly)
             np.add.at(scores, local, contrib)
             np.add.at(seen, local, 1)
             if cl_mask is not None:
@@ -286,9 +303,12 @@ def _make_shard_scorer(
                 contribs[i] = (local, contrib)
             total_rem -= ubs[i]
             if multi and flat_or and total_rem > 0:
-                nz = scores[scores > 0]
-                if nz.size >= k:
-                    theta = np.partition(nz, nz.size - k)[nz.size - k]
+                if len(cand_parts) > 1:
+                    cand_parts = [np.concatenate(cand_parts)]
+                vals = scores[cand_parts[0]] if cand_parts else \
+                    np.empty(0, dtype=np.float64)
+                if vals.size >= k:
+                    theta = np.partition(vals, vals.size - k)[vals.size - k]
 
         if cl_mask is not None:
             cand = np.flatnonzero(cl_mask == full_cover)
@@ -512,6 +532,26 @@ class QueryEngine:
         default = self.config.fields[0]
         self.n_docs, self.avgdl = self.field_stats[default]
 
+    @staticmethod
+    def _require_k(k: int, name: str = "k") -> None:
+        """Lucene's TopDocs contract: n must be >= 1 (IllegalArgumentException
+        there; a descriptive ValueError here).  The numpy top-k cuts in the
+        shard kernels (np.partition / argpartition) fail with opaque
+        bounds errors on k=0, so reject it at the API edge; a caller who
+        wants only the match COUNT uses count()/match_ids()."""
+        if int(k) < 1:
+            raise ValueError(f"{name} must be >= 1, got {k}")
+
+    @staticmethod
+    def _norm_mode(mode: str) -> str:
+        """Normalize and validate the boolean mode: anything that is not
+        exactly 'or'/'and' (case-insensitive) raises instead of silently
+        scoring as OR."""
+        m = str(mode).lower()
+        if m not in ("or", "and"):
+            raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+        return m
+
     def _parse_term(self, term: str):
         """'path:foo' → (field='path', stored='path:foo') when 'path' is an
         indexed non-default field; otherwise the whole string is a default-
@@ -634,6 +674,9 @@ class QueryEngine:
         ``global_stats`` (ExactStatsCache): LOCAL term presence still
         decides which terms can match here, but df/N/avgdl in the idf and
         norm come from the supplied merged statistics."""
+        if not return_all:
+            self._require_k(kk)
+        mode = self._norm_mode(mode)
         parsed = {self._parse_term(t) for t in terms}
         uniq = sorted(stored for _f, stored in parsed)
         fields = {stored: f for f, stored in parsed}
@@ -722,8 +765,9 @@ class QueryEngine:
                        filters: Sequence[Sequence[str]] = ()) -> DataFrame:
         """(group value, rank-in-group, doc_id, score) for the top
         ``k_per_group`` docs of every group, Lucene TopGroups contract:
-        within-group order is (score desc, doc_id), group order is the
-        group's best (score desc, doc_id).
+        within-group order is (score desc, doc_id); groups are ordered by
+        their best score desc with ties broken by group value asc (a
+        deterministic analogue of Lucene's encounter-order tiebreak).
 
         Cost shape: TWO-PASS, like Lucene's per-segment grouping
         collector.  Pass 1 COGROUPS the (term-pruned) postings with the
@@ -736,7 +780,15 @@ class QueryEngine:
         on ≤5 tasks.  The doc_map side shuffles by doc_shard (2 columns);
         at deployment scale doc_map is written in doc_id order, so
         bucketing it by ``doc_id div docs_per_shard`` makes that exchange
-        a co-located read."""
+        a co-located read.
+
+        Parameter surface: ``mode``/``exclude``/``filters`` (the Solr
+        grouping essentials).  ``boosts``/``min_should_match``/
+        ``global_stats`` are deliberately NOT threaded through this fused
+        kernel — compose ``score_matches`` + a window for those rarer
+        combinations."""
+        self._require_k(k_per_group, "k_per_group")
+        mode = self._norm_mode(mode)
         parsed = {self._parse_term(t) for t in terms}
         uniq = sorted(stored for _f, stored in parsed)
         fieldmap = {stored: f for f, stored in parsed}
@@ -881,8 +933,15 @@ class QueryEngine:
         entirely — the unranked match set semi-joins the column-pruned
         doc_map scan and TakeOrdered merges ≤k rows, exactly like
         ``facet_search``'s cost shape, whatever the key count."""
+        self._require_k(k + offset)
         spec = parse_sort_spec(sort_field, ascending)
-        fields = list(dict.fromkeys(f for f, _a in spec))
+        # doc_id may appear in the spec ("sort=doc_id desc"): it is always
+        # selected as the identity/tiebreak column, so keep it out of the
+        # projection list or the select/join would raise
+        # AMBIGUOUS_REFERENCE on the duplicated column
+        fields = list(dict.fromkeys(
+            f for f, _a in spec if f != "doc_id"
+        ))
         hits = self.match_ids(terms, mode=mode, exclude=exclude,
                               filters=filters).select("doc_id")
         dm = self.storage.read(self.spark, "doc_map").select(
@@ -1038,8 +1097,16 @@ class QueryEngine:
         per-shard kernel pass as ``search`` — only ≤k partial rows per
         shard reach the TakeOrdered merge (pinned in
         tests/test_dismax.py)."""
+        self._require_k(k + offset)
         fields = list(fields or self.config.fields)
         default = self.config.fields[0]
+        # duplicated query terms keep Lucene's m-times clause contribution
+        # (each repetition is its own DisjunctionMax clause; same multiplier
+        # on every field of the term scales its max and tie-sum by m) —
+        # consistent with boolean_search's duplicate-SHOULD handling
+        from collections import Counter
+
+        mult = Counter(terms)
         pairs = sorted({
             (t if f == default else f"{f}:{t}", t, f)
             for t in terms for f in fields
@@ -1051,7 +1118,8 @@ class QueryEngine:
         stored_terms = [s for s, _b, _f in live]
         bare_of = [bare for _s, bare, _f in live]
         idfs = [lucene_idf(self.field_stats[f][0], stats[s][0])
-                for s, _b, f in live]
+                * mult[bare]
+                for s, bare, f in live]
         avgdls = [self.field_stats[f][1] for _s, _b, f in live]
         postings = self._postings_df().filter(
             F.col("term").isin(stored_terms)
@@ -1232,13 +1300,32 @@ class QueryEngine:
             return self.spark.createDataFrame([], "doc_id long, score double")
         return self.search(terms, k=k, mode="or", offset=offset)
 
-    def _expand_fuzzy(self, term: str, max_edits: int, prefix_length: int,
-                      max_expansions: int) -> List[str]:
-        field, stored = self._parse_term(term)
+    def _fuzzy_pred(self, field: str, stored: str, max_edits: int,
+                    prefix_length: int):
+        """Per-field fuzzy candidate predicate (Lucene expands multi-term
+        queries PER FIELD).  For a scoped term the edit distance is
+        measured on the term BODY with a mandatory ``field:`` prefix —
+        otherwise ``lang:fr~2`` would match the default-field term
+        ``langer`` (delete ``:``) or another field's ``land:fr``,
+        returning docs that contain no ``lang`` term at all."""
+        if field != self.config.fields[0]:
+            fp = field + ":"
+            body = stored[len(fp):]
+            cand = F.expr(f"substring(term, {len(fp) + 1})")
+            pred = (F.col("term").startswith(fp)
+                    & (F.levenshtein(cand, F.lit(body)) <= max_edits))
+            if prefix_length > 0:
+                pred = pred & cand.startswith(body[:prefix_length])
+            return pred
         pred = F.levenshtein(F.col("term"), F.lit(stored)) <= max_edits
         if prefix_length > 0:
             pred = pred & F.col("term").startswith(stored[:prefix_length])
-        pred = self._default_field_guard(field, pred)
+        return self._default_field_guard(field, pred)
+
+    def _expand_fuzzy(self, term: str, max_edits: int, prefix_length: int,
+                      max_expansions: int) -> List[str]:
+        field, stored = self._parse_term(term)
+        pred = self._fuzzy_pred(field, stored, max_edits, prefix_length)
         return self._expand(pred, max_expansions, f"fuzzy '{term}'")
 
     def fuzzy_search(self, term: str, k: int = 10, max_edits: int = 1,
@@ -1416,19 +1503,24 @@ class QueryEngine:
         a distributed lexicon filter + TakeOrdered(n); no collect of the
         expansion.  Returns (term, df, distance)."""
         field, stored = self._parse_term(term)
-        pred = (
-            (F.levenshtein(F.col("term"), F.lit(stored)) <= max_edits)
-            & (F.col("term") != stored)
-            & (F.col("df") >= min_df)
-        )
-        if prefix_length > 0:
-            pred = pred & F.col("term").startswith(stored[:prefix_length])
-        pred = self._default_field_guard(field, pred)
+        # per-field candidates + body-measured distance (same contract as
+        # _fuzzy_pred: a scoped term must never be corrected by another
+        # field's or the default field's terms)
+        pred = (self._fuzzy_pred(field, stored, max_edits, prefix_length)
+                & (F.col("term") != stored)
+                & (F.col("df") >= min_df))
+        if field != self.config.fields[0]:
+            fp = field + ":"
+            dist = F.levenshtein(
+                F.expr(f"substring(term, {len(fp) + 1})"),
+                F.lit(stored[len(fp):]),
+            )
+        else:
+            dist = F.levenshtein(F.col("term"), F.lit(stored))
         return (
             self._lexicon_df()
             .filter(pred)
-            .withColumn("distance",
-                        F.levenshtein(F.col("term"), F.lit(stored)))
+            .withColumn("distance", dist)
             .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
             .select("term", "df", "distance")
             .limit(n)
@@ -1522,6 +1614,7 @@ class QueryEngine:
         """
         from archivesspace_virgo_spark.tokenizer import tokenize_text
 
+        self._require_k(k + offset)
         terms = tokenize_text(phrase) if isinstance(phrase, str) else list(phrase)
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if not terms:
@@ -1543,8 +1636,11 @@ class QueryEngine:
         docs_per_shard = self.config.docs_per_shard
         only_ids = (np.asarray(sorted(set(only_doc_ids)), dtype=np.int64)
                     if only_doc_ids is not None else None)
-        kk = (k + offset if only_ids is None
-              else max(k + offset, only_ids.size))
+        # plain k+offset even with a rerank window: per-shard top-(k+offset)
+        # partials + the global TakeOrdered merge are already exact for
+        # top-k, so inflating the per-shard cut to the window size only
+        # shuffled extra partial rows (rerank passes k = window size anyway)
+        kk = k + offset
 
         from archivesspace_virgo_spark import codec  # re-imported on workers
 
@@ -1649,6 +1745,7 @@ class QueryEngine:
         """
         from archivesspace_virgo_spark.tokenizer import tokenize_text
 
+        self._require_k(k + offset)
         terms = tokenize_text(phrase) if isinstance(phrase, str) else list(phrase)
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if not terms:
@@ -1672,8 +1769,11 @@ class QueryEngine:
         docs_per_shard = self.config.docs_per_shard
         only_ids = (np.asarray(sorted(set(only_doc_ids)), dtype=np.int64)
                     if only_doc_ids is not None else None)
-        kk = (k + offset if only_ids is None
-              else max(k + offset, only_ids.size))
+        # plain k+offset even with a rerank window: per-shard top-(k+offset)
+        # partials + the global TakeOrdered merge are already exact for
+        # top-k, so inflating the per-shard cut to the window size only
+        # shuffled extra partial rows (rerank passes k = window size anyway)
+        kk = k + offset
         n_terms = len(stored)
 
         from archivesspace_virgo_spark import codec  # re-imported on workers
@@ -1794,6 +1894,7 @@ class QueryEngine:
         shape; the hot path stays vectorized."""
         from archivesspace_virgo_spark.tokenizer import tokenize_text
 
+        self._require_k(k + offset)
         terms = tokenize_text(phrase) if isinstance(phrase, str) else list(phrase)
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if not terms:
@@ -1987,11 +2088,13 @@ class QueryEngine:
         snippet_end, n_matched) with positions in token offsets.
 
         Plan shape: the ≤k hit ids are shipped INTO the per-shard kernel as
-        a closure literal (k rows — not a join), the kernel decodes
-        positions only for posting blocks whose doc range intersects the
-        hits, and emits ≤k window rows; the final broadcast join attaches
-        scores.  Cost is O(k · query terms) decoded docs, independent of
-        result-set size."""
+        a closure literal (k rows — not a join), the postings scan prunes
+        to the hit docs' shards (partition pruning — non-hit shards are
+        never read), and the kernel emits ≤k window rows; the final
+        broadcast join attaches scores.  Inside a hit shard the kernel
+        decodes the query terms' postings for that shard (the same decode
+        class a phrase query pays per shard); the Python window loop runs
+        over occurrences WITHIN hit docs only."""
         hits = self.search(terms, k=k, mode=mode)
         hit_rows = hits.collect()  # bounded: ≤ k rows
         if not hit_rows:
@@ -2060,8 +2163,10 @@ class QueryEngine:
             return pd.DataFrame(out, columns=[
                 "doc_id", "snippet_start", "snippet_end", "n_matched"])
 
+        hit_shards = sorted({d // docs_per_shard for d in hit_ids})
         postings = self._postings_df().filter(
-            F.col("term").isin(live)
+            F.col("doc_shard").isin(hit_shards)
+            & F.col("term").isin(live)
         ).select("doc_shard", "term", "doc_blob", "tf_blob", "dl_blob",
                  "pos_blob")
         windows = postings.groupBy("doc_shard").applyInPandas(
@@ -2106,6 +2211,7 @@ class QueryEngine:
         ``filters``: Solr fq — non-scoring required clauses (each an OR of
         terms); matching ids are set-intersected shard-locally.
         """
+        mode = self._norm_mode(mode)
         parsed = {self._parse_term(t) for t in terms}
         uniq = sorted(stored for _f, stored in parsed)
         stats = self.term_stats(uniq)

@@ -100,3 +100,36 @@ def test_term_scores_relation(engine, con):
     en = {round(r["contrib"], 9) for r in rows if r["term"] == "lang:en"}
     assert len(en) == 1
     assert all(r["contrib"] > 0 for r in rows)
+
+
+def test_fuzzy_field_scoped_no_cross_field_leak(engine):
+    """Per-field FuzzyQuery: a scoped fuzzy term must expand only within
+    its own field's lexicon entries, with edits measured on the term BODY
+    — never against default-field terms (e.g. 'lang:fr'~2 must not match
+    the default-field token 'far' via delete-':' tricks)."""
+    exp = engine._expand_fuzzy("lang:fr", max_edits=2, prefix_length=0,
+                               max_expansions=1000)
+    assert exp, "fixture must contain lang terms near 'fr'"
+    assert all(t.startswith("lang:") for t in exp), exp
+    # suggest on a scoped term likewise stays in-field, distance on body
+    sg = engine.suggest("lang:fq", n=10, max_edits=2, prefix_length=0)
+    rows = sg.collect()
+    assert rows and all(r["term"].startswith("lang:") for r in rows)
+    import numpy as np  # noqa: F401  (parity: distance is body-measured)
+    for r in rows:
+        body = r["term"][len("lang:"):]
+        assert abs(len(body) - len("fq")) <= 2
+
+
+def test_dismax_duplicate_terms_score_m_times(engine):
+    """Lucene clause multiplicity: dismax(['spark','spark']) doubles the
+    term's whole DisjunctionMax contribution (same contract as
+    boolean_search's duplicate-SHOULD handling)."""
+    once = {r["doc_id"]: r["score"]
+            for r in engine.dismax_search(["spark"], tie=0.3, k=10).collect()}
+    twice = {r["doc_id"]: r["score"]
+             for r in engine.dismax_search(["spark", "spark"], tie=0.3,
+                                           k=10).collect()}
+    assert set(once) == set(twice)
+    for d, s in once.items():
+        assert abs(twice[d] - 2.0 * s) < 1e-9

@@ -258,3 +258,16 @@ def test_sort_spec_parser_rejects_junk(engine):
         parse_sort_spec("lang asc extra, path")
     with _pt.raises(ValueError):
         parse_sort_spec([])
+
+
+def test_sorted_by_doc_id_spec(engine):
+    """'sort=doc_id desc' — doc_id in the sort spec must not duplicate the
+    identity column (AMBIGUOUS_REFERENCE regression)."""
+    rows = engine.sorted_search(["spark"], "doc_id desc", k=5).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids == sorted(ids, reverse=True) and len(ids) == 5
+    all_ids = sorted(
+        (r["doc_id"] for r in engine.match_ids(["spark"]).collect()),
+        reverse=True,
+    )
+    assert ids == all_ids[:5]

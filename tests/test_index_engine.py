@@ -127,3 +127,28 @@ def test_ingest_invariant_sha256(built, spark):
     for r in dm:
         expect = hashlib.sha256(src[r["doc_id"]].encode()).hexdigest()
         assert r["content_sha256"] == expect
+
+
+def test_k_and_mode_validation(built):
+    """Lucene TopDocs contract: k must be >= 1 (descriptive ValueError,
+    not an opaque numpy bounds error); mode is normalized/validated so a
+    typo can't silently score as OR."""
+    import pytest as _pt
+
+    engine, _oracle, _meta = built
+    with _pt.raises(ValueError, match=">= 1"):
+        engine.search(["spark"], k=0).collect()
+    with _pt.raises(ValueError, match=">= 1"):
+        engine.dismax_search(["spark"], k=0)
+    with _pt.raises(ValueError, match=">= 1"):
+        engine.phrase_search(["slow", "stream"], k=0)
+    with _pt.raises(ValueError, match="k_per_group"):
+        engine.grouped_search(["spark"], "lang", k_per_group=0)
+    with _pt.raises(ValueError, match="mode"):
+        engine.search(["spark"], mode="adn").collect()
+    # case-insensitive normalization: 'AND' means AND, not silent OR
+    up = {r["doc_id"] for r in engine.search(["spark", "window"],
+                                             mode="AND", k=50).collect()}
+    lo = {r["doc_id"] for r in engine.search(["spark", "window"],
+                                             mode="and", k=50).collect()}
+    assert up == lo
